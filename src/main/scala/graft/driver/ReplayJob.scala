@@ -1,0 +1,105 @@
+package graft.driver
+
+import graft.log.{ChangeLogGen, LogSpec}
+import graft.merge.MergeEngine
+import graft.model.{ChangeEvent, EpochStats}
+import graft.table.IceTable
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch replay driver: folds a change log into an IceTable in E epochs —
+ * the Spark analog of Gobblin's job lifecycle (plan WorkUnits → run tasks →
+ * publish → persist state; AbstractJobLauncher.launchJob,
+ * gobblin-runtime/.../AbstractJobLauncher.java:433-608), where:
+ *   - an epoch = one flush interval's worth of the log
+ *     (FlushingExtractor.java:84-85);
+ *   - epoch planning = seq-range slicing (WorkUnit watermark intervals);
+ *   - publish = the atomic manifest commit inside MergeEngine.applyEpoch;
+ *   - state persistence = manifest offsets + lineage rows.
+ *
+ * Resumable: `run` consults the table's committed offsets, so a re-run after
+ * a crash (any point, including mid-epoch) starts where it left off; already
+ * committed epochs are fenced to no-ops.
+ */
+object ReplayJob {
+
+  final case class EpochReport(epochId: Long, loSeq: Long, hiSeq: Long,
+      skipped: Boolean, stats: EpochStats)
+
+  /** Replay `(fromSeq, toSeq]` of the log in `nEpochs` equal slices. */
+  def run(
+      spark: SparkSession,
+      table: IceTable,
+      events: Long => Dataset[ChangeEvent],  // epoch slice loader: (epochId)
+      epochRanges: Seq[(Long, Long, Long)],  // (epochId, loSeq, hiSeq]
+      nLogPartitions: Int = 32,
+      stateDir: Option[String] = None): Seq[EpochReport] = {
+    epochRanges.map { case (epochId, lo, hi) =>
+      val prev = table.currentManifest()
+        .map(_.offsets.map(o => o.partitionId -> o.highSeq).toMap)
+        .getOrElse(Map.empty[Int, Long])
+      val out = MergeEngine.applyEpoch(spark, table, events(epochId), epochId,
+        nLogPartitions, stateDir.map(d => s"$d/quarantine"))
+      stateDir.foreach { d =>
+        if (!out.skipped)
+          MergeEngine.writeLineage(spark, d, epochId, prev,
+            out.manifest.offsets, out.stats)
+      }
+      EpochReport(epochId, lo, hi, out.skipped, out.stats)
+    }
+  }
+
+  /** Convenience: generate the log on the fly (pure function of seq — no
+    * materialization needed) and replay it in `nEpochs` slices. */
+  def replayGenerated(
+      spark: SparkSession,
+      table: IceTable,
+      spec: LogSpec,
+      nEpochs: Int,
+      nLogPartitions: Int = 32,
+      stateDir: Option[String] = None): Seq[EpochReport] = {
+    val per = math.max(1L, spec.nEvents / nEpochs)
+    val ranges = (0 until nEpochs).map { e =>
+      val lo = e * per - 1 // (lo, hi] with seq starting at 0
+      val hi = if (e == nEpochs - 1) spec.nEvents - 1 else (e + 1) * per - 1
+      (e.toLong, lo, hi)
+    }
+    import spark.implicits._
+    val cdf = ChangeLogGen.zipfCdf(spec.nRepos, spec.zipfExponent)
+    def slice(epochId: Long): Dataset[ChangeEvent] = {
+      val (_, lo, hi) = ranges(epochId.toInt)
+      spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(spec, cdf, s))
+    }
+    run(spark, table, slice, ranges, nLogPartitions, stateDir)
+  }
+
+  /** Replay from a materialized parquet change log (the "binlog" on disk).
+    * Slices prune on `seq` (range-partitioned files → row-group pruning). */
+  def replayParquetLog(
+      spark: SparkSession,
+      table: IceTable,
+      logDir: String,
+      nEpochs: Int,
+      nLogPartitions: Int = 32,
+      stateDir: Option[String] = None): Seq[EpochReport] = {
+    import spark.implicits._
+    val bounds = spark.read.parquet(logDir)
+      .agg(min($"seq").as("lo"), max($"seq").as("hi")).head()
+    val (loAll, hiAll) = (bounds.getLong(0), bounds.getLong(1))
+    val n = hiAll - loAll + 1
+    val per = math.max(1L, n / nEpochs)
+    val ranges = (0 until nEpochs).map { e =>
+      val lo = loAll + e * per - 1
+      val hi = if (e == nEpochs - 1) hiAll else loAll + (e + 1) * per - 1
+      (e.toLong, lo, hi)
+    }
+    def slice(epochId: Long): Dataset[ChangeEvent] = {
+      val (_, lo, hi) = ranges(epochId.toInt)
+      spark.read.parquet(logDir)
+        .filter($"seq" > lo && $"seq" <= hi)
+        .as[ChangeEvent]
+    }
+    run(spark, table, slice, ranges, nLogPartitions, stateDir)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.log
+
+import graft.model.ChangeEvent
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/**
+ * Deterministic synthetic change-log generator — the engine's analog of the
+ * reference's deterministic test source
+ * (gobblin-core-base/.../test/SequentialTestSource.java:112-158).
+ *
+ * Every event is a PURE function of `(seed, seq)`: generation is stateless,
+ * so the same log is produced regardless of Spark partitioning or cluster
+ * size, and the in-memory oracle can regenerate any slice independently.
+ * This is what lets correctness tests replay "the same" 10^N-event log at any
+ * parallelism.
+ *
+ * Skew: repo popularity follows a Zipf(s) distribution so a hot repo absorbs
+ * a large share of events (FIXTURES.md §6), exercising the salted-repartition
+ * path of the merge stage.
+ */
+final case class LogSpec(
+    seed: Long = 42L,
+    nEvents: Long = 100000L,
+    nRepos: Int = 100,
+    nPathsPerRepo: Int = 200,
+    zipfExponent: Double = 1.2,
+    pDelete: Double = 0.05,
+    contentWords: Int = 40)
+
+object ChangeLogGen {
+
+  /** splitmix64 — public-domain mix function; stateless PRNG keyed by input. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Uniform double in [0, 1) from a hash. */
+  private def unit(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
+
+  private val wordList: Array[String] = Array(
+    "def", "class", "object", "val", "var", "match", "case", "import",
+    "return", "public", "static", "void", "int", "string", "map", "list",
+    "spark", "dataset", "column", "filter", "select", "join", "group",
+    "merge", "commit", "offset", "epoch", "snapshot", "schema", "table",
+    "stream", "batch", "shuffle", "partition", "hash", "sort", "write",
+    "read", "index", "buffer", "cache", "flush", "sync", "async", "retry",
+    "state", "lineage", "delta", "apply", "fold", "scan")
+
+  /** Zipf CDF over repo ranks (precomputed once, broadcast by closure). */
+  def zipfCdf(n: Int, s: Double): Array[Double] = {
+    val w = Array.tabulate(n)(i => 1.0 / math.pow(i + 1.0, s))
+    val total = w.sum
+    val cdf = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += w(i) / total; cdf(i) = acc; i += 1 }
+    cdf(n - 1) = 1.0
+    cdf
+  }
+
+  private def pickZipf(cdf: Array[Double], u: Double): Int = {
+    val i = java.util.Arrays.binarySearch(cdf, u)
+    if (i >= 0) i else math.min(cdf.length - 1, -i - 1)
+  }
+
+  /** The pure per-sequence event function. */
+  def eventAt(spec: LogSpec, cdf: Array[Double], seq: Long): ChangeEvent = {
+    val h0 = mix64(spec.seed ^ seq)
+    val repoIdx = pickZipf(cdf, unit(h0))
+    val h1 = mix64(h0 ^ 0x51L)
+    val pathIdx = ((h1 >>> 17) % spec.nPathsPerRepo).toInt
+    val h2 = mix64(h1 ^ 0x52L)
+    val isDelete = unit(h2) < spec.pDelete
+    // i vs u both mean "upsert" under last-writer-wins; the flag only records
+    // what the source claimed (first-writer knowledge needs global state the
+    // generator intentionally does not have).
+    val op = if (isDelete) "d" else if (unit(mix64(h2 ^ 0x53L)) < 0.5) "i" else "u"
+    val lang = pathIdx % 4 match {
+      case 0 => "scala"; case 1 => "java"; case 2 => "py"; case 3 => "md"
+    }
+    val ext = lang match {
+      case "scala" => "scala"; case "java" => "java"; case "py" => "py"; case _ => "md"
+    }
+    val repo = f"org${repoIdx % 10}%d/repo-$repoIdx%04d"
+    val path = f"src/dir${pathIdx % 8}%d/File$pathIdx%04d.$ext%s"
+    val commit = {
+      val a = mix64(h2 ^ 0x54L); val b = mix64(h2 ^ 0x55L)
+      val c = mix64(h2 ^ 0x56L)
+      f"$a%016x$b%016x${c & 0xffffffffL}%08x"
+    }
+    val content =
+      if (isDelete) ""
+      else {
+        val sb = new java.lang.StringBuilder(spec.contentWords * 7)
+        var i = 0
+        var h = mix64(h2 ^ 0x57L)
+        while (i < spec.contentWords) {
+          if (i > 0) sb.append(if (i % 10 == 0) '\n' else ' ')
+          sb.append(wordList(((h >>> 13) % wordList.length).toInt))
+          h = mix64(h)
+          i += 1
+        }
+        sb.append(" // seq=").append(seq)
+        sb.toString
+      }
+    ChangeEvent(op, seq, repo, path, commit, lang, content)
+  }
+
+  /** Distributed generation: `spark.range` keeps it a pure narrow map — no
+    * shuffle, scales linearly with cores/executors. */
+  def generate(spark: SparkSession, spec: LogSpec): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    val cdf = zipfCdf(spec.nRepos, spec.zipfExponent)
+    spark.range(0, spec.nEvents).map(seq => eventAt(spec, cdf, seq))
+  }
+
+  /** Pure-Scala generation for the in-memory oracle (small scales only). */
+  def generateLocal(spec: LogSpec): Iterator[ChangeEvent] = {
+    val cdf = zipfCdf(spec.nRepos, spec.zipfExponent)
+    Iterator.range(0L, spec.nEvents).map(seq => eventAt(spec, cdf, seq))
+  }
+
+  /** Materialize the log as a partitioned parquet directory (the "binlog").
+    * Files are bucketed by `seq` range so that offset-range reads prune. */
+  def writeLog(spark: SparkSession, spec: LogSpec, dir: String,
+               nFiles: Int = 32): Unit = {
+    generate(spark, spec)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("seq"))
+      .write.mode("overwrite").parquet(dir)
+  }
+}

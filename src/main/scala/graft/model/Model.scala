@@ -1,0 +1,92 @@
+package graft.model
+
+/**
+ * Core data model of the CDC/incremental-ingest engine.
+ *
+ * The shapes mirror the reference's constructs (see SURVEY.md §1):
+ *  - [[ChangeEvent]] is the record envelope: payload columns fixed by the
+ *    north-star input hint `(repo, path, commit, lang, content)` plus a CDC
+ *    envelope `(op, seq)` — the analog of Gobblin's `RecordEnvelope`
+ *    (reference: gobblin-api/.../stream/RecordEnvelope.java:53-57) where the
+ *    per-record watermark is the global sequence number `seq`.
+ *  - [[FileRow]] is one row of the target table; `contentSha` is the
+ *    per-row invariant (sha256 of content) used for replay verification.
+ *  - [[OffsetRange]] is a WorkUnit's `WatermarkInterval` analog
+ *    (gobblin-api/.../source/extractor/WatermarkInterval.java:30-43):
+ *    half-open-low/closed-high `(lowSeq, highSeq]` per log partition.
+ *  - [[EpochManifest]] is the atomic commit unit — the Spark-native analog of
+ *    the single Iceberg transaction Gobblin's IcebergMetadataWriter commits
+ *    per flush (gobblin-iceberg/.../writer/IcebergMetadataWriter.java:834-905):
+ *    data files + offset ranges + schema id + counters, all-or-nothing.
+ */
+final case class ChangeEvent(
+    op: String,      // "i" | "u" | "d"
+    seq: Long,       // globally monotone sequence (source offset / watermark)
+    repo: String,
+    path: String,
+    commit: String,  // 40-hex synthetic commit id
+    lang: String,
+    content: String) // empty for deletes
+
+final case class FileRow(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String,
+    contentSha: String)
+
+/** `(lowSeq, highSeq]` pulled from one log partition — open-low, closed-high,
+  * matching the reference's offset-range fence semantics
+  * (IcebergMetadataWriter.java:394-397). */
+final case class OffsetRange(partitionId: Int, lowSeq: Long, highSeq: Long)
+
+/** Per-epoch, per-table counters — Gobblin job-state counter parity
+  * (KafkaExtractorStatsTracker.java:66-76). */
+final case class EpochStats(
+    rowsExtracted: Long,
+    rowsQuarantined: Long,
+    dedupDrops: Long,
+    rowsApplied: Long,
+    deletesApplied: Long)
+
+/** One data file referenced by a snapshot manifest. `schemaId` records the
+  * content schema the file was WRITTEN with; readers evolve it forward to the
+  * snapshot's current schema (Iceberg-style read-time projection by column
+  * id — cf. IcebergMetadataWriter.computeCandidateSchema,
+  * gobblin-iceberg/.../writer/IcebergMetadataWriter.java:455-524). */
+final case class DataFileEntry(path: String, bucket: Int, rows: Long,
+    schemaId: Int)
+
+/**
+ * Snapshot manifest: the unit of atomic commit. A snapshot is readable iff
+ * its manifest exists and the table's pointer file references it; data files
+ * not listed in the current manifest are invisible (Iceberg's rule), which is
+ * what makes a crash between data-file write and manifest commit harmless.
+ */
+final case class EpochManifest(
+    version: Long,               // snapshot version (monotone)
+    epochId: Long,               // ingestion epoch that produced it
+    schemaId: Int,               // content schema at commit time
+    files: Seq[DataFileEntry],   // complete file list of this snapshot
+    offsets: Seq[OffsetRange],   // committed (low, high] per log partition
+    stats: EpochStats,
+    parentVersion: Long)         // -1 for the first snapshot
+
+/** Lineage row persisted per (epoch, log-partition) — the "lineage rows in a
+  * state table" of the north star; analog of Gobblin's per-WorkUnit committed
+  * watermarks (StateStoreBasedWatermarkStorage.java:47-125). */
+final case class LineageRow(
+    epochId: Long,
+    partitionId: Int,
+    srcLowSeq: Long,
+    srcHighSeq: Long,
+    rowsApplied: Long,
+    dedupDrops: Long,
+    watermarkLag: Long)
+
+/** Quarantined record + reason — ERR_FILE-style side output of row-level
+  * quality policies (RowLevelPolicy.java:37-45). */
+final case class QuarantineRow(
+    op: String, seq: Long, repo: String, path: String,
+    commit: String, lang: String, content: String, reason: String)

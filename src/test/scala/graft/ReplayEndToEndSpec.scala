@@ -1,0 +1,116 @@
+package graft
+
+import graft.log.{ChangeLogGen, LogSpec, OracleFold}
+import graft.driver.ReplayJob
+import graft.table.IceTable
+import org.apache.spark.sql.functions._
+
+/**
+ * Golden end-to-end replay (SURVEY.md §5): replay a deterministic change log
+ * in K epochs, assert the final IceTable state matches the in-memory oracle
+ * fold by per-row sha256(content) — the north-star invariant. Plus
+ * idempotence (replay twice ⇒ identical snapshot) and resume-from-crash.
+ */
+class ReplayEndToEndSpec extends SparkSpec {
+
+  val spec = LogSpec(seed = 42L, nEvents = 10000, nRepos = 20,
+    nPathsPerRepo = 50, pDelete = 0.08)
+
+  private def tableState(t: IceTable): Map[(String, String), (String, String)] =
+    t.read(spark).select("repo", "path", "contentSha", "commit")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3)))
+      .toMap
+
+  private def oracleState: Map[(String, String), (String, String)] =
+    OracleFold.fold(ChangeLogGen.generateLocal(spec))
+      .map { case (k, v) => k -> (v.contentSha, v.commit) }
+
+  test("4-epoch replay matches the oracle fold per-row (sha256 + commit)") {
+    val t = IceTable.create(tmpDir("icetable"), numBuckets = 8)
+    val reports = ReplayJob.replayGenerated(spark, t, spec, nEpochs = 4,
+      nLogPartitions = 8, stateDir = Some(tmpDir("state")))
+    assert(reports.size == 4)
+    assert(reports.forall(!_.skipped))
+    // counters consistency: extracted == applied + deletes + dedupDrops per epoch
+    reports.foreach { r =>
+      assert(r.stats.rowsExtracted ==
+        r.stats.rowsApplied + r.stats.deletesApplied + r.stats.dedupDrops +
+          r.stats.rowsQuarantined,
+        s"epoch ${r.epochId} counter mismatch: ${r.stats}")
+    }
+    val got = tableState(t)
+    val want = oracleState
+    assert(got.size == want.size,
+      s"row count: got ${got.size}, want ${want.size}")
+    assert(got == want)
+  }
+
+  test("replaying the same log again is a fenced no-op (exactly-once)") {
+    val t = IceTable.create(tmpDir("icetable"), numBuckets = 8)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 4, nLogPartitions = 8)
+    val v1 = t.currentVersion()
+    val m1 = t.currentManifest().get
+    // full second replay — every epoch below the committed watermarks
+    val reports = ReplayJob.replayGenerated(spark, t, spec, nEpochs = 4,
+      nLogPartitions = 8)
+    assert(reports.forall(_.skipped), "replay epochs must all be fenced")
+    assert(t.currentVersion() == v1, "no new snapshot may be committed")
+    assert(t.currentManifest().get == m1)
+    assert(tableState(t) == oracleState)
+  }
+
+  test("resume after crash between epochs reaches the same final state") {
+    val t = IceTable.create(tmpDir("icetable"), numBuckets = 8)
+    // first run "crashes" after 2 of 4 epochs: simulate by only running 2
+    val sp = spec // local copy: the map closure must not capture the suite
+    val per = sp.nEvents / 4
+    import spark.implicits._
+    val cdf = ChangeLogGen.zipfCdf(sp.nRepos, sp.zipfExponent)
+    def slice(lo: Long, hi: Long) =
+      spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(sp, cdf, s))
+    val ranges = (0 until 4).map { e =>
+      (e.toLong, e * per - 1, if (e == 3) sp.nEvents - 1 else (e + 1) * per - 1)
+    }
+    ReplayJob.run(spark, t, id => { val (_, lo, hi) = ranges(id.toInt); slice(lo, hi) },
+      ranges.take(2), nLogPartitions = 8)
+    assert(t.currentVersion() == 1) // two snapshots: v0, v1
+    // second run replays ALL epochs (resume does not know where it died)
+    val reports = ReplayJob.run(spark, t,
+      id => { val (_, lo, hi) = ranges(id.toInt); slice(lo, hi) },
+      ranges, nLogPartitions = 8)
+    assert(reports.take(2).forall(_.skipped))
+    assert(reports.drop(2).forall(!_.skipped))
+    assert(tableState(t) == oracleState)
+  }
+
+  test("crash between data-file write and manifest commit is harmless") {
+    val t = IceTable.create(tmpDir("icetable"), numBuckets = 8)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 2, nLogPartitions = 8)
+    val before = tableState(t)
+    // simulate the torn write: orphan data files for a never-committed epoch
+    import spark.implicits._
+    val junk = Seq(("evil/repo", "p", "c", "scala", "junk", "deadbeef", 3))
+      .toDF("repo", "path", "commit", "lang", "content", "contentSha", "bucket")
+    t.writeEpochFiles(junk, epochId = 999)
+    // reader sees only manifest-listed files — orphans are invisible
+    assert(tableState(t) == before)
+    assert(!t.read(spark).filter(col("repo") === "evil/repo").count().>(0))
+    // crash cleanup removes them; committed files stay
+    t.dropUncommittedEpochFiles(999)
+    assert(t.listEpochFiles(999).isEmpty)
+    assert(tableState(t) == before)
+  }
+
+  test("skew: no reducer partition holds a disproportionate share") {
+    // Zipf-hot repo must not translate into a hot merge partition: the merge
+    // keys on (repo, path) buckets, so hot-repo events spread over its paths.
+    val hotSpec = spec.copy(nEvents = 20000, zipfExponent = 1.4)
+    import spark.implicits._
+    val df = ChangeLogGen.generate(spark, hotSpec)
+      .withColumn("bucket", pmod(xxhash64($"repo", $"path"), lit(8)))
+    val counts = df.groupBy("bucket").count().collect().map(_.getLong(1))
+    val (mx, avg) = (counts.max, counts.sum / counts.length)
+    assert(mx < avg * 2, s"bucket skew too high: max=$mx avg=$avg")
+  }
+}
