@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator surface of the engine (SURVEY.md §2 inventory +
+  * training-data-pipeline operators); each entry with an `oracleSql` line is
+  * verified by the driver against DuckDB on the same parquet tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the CDC ingest engine end-to-end (events-derived change log →
+    * 4-epoch replay → committed IceTable snapshot) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("c3_cdc_engine_replay")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++
+      graft.queries.CdcQueries.queries ++
+      graft.queries.DocQueries.queries ++
+      graft.queries.VectorQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for engine-hash-specific ops
+    * (d7_minhash_bands, d8_simhash, v3_lsh_buckets) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles ++
+      graft.queries.CdcQueries.oracles ++
+      graft.queries.DocQueries.oracles ++
+      graft.queries.VectorQueries.oracles
 }

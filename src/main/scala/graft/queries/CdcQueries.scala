@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.driver.ReplayJob
+import graft.model.ChangeEvent
+import graft.table.IceTable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * CDC-semantics queries over the driver's `events` table, including the
+ * flagship: the REAL ingest engine (IceTable + MergeEngine) replaying an
+ * events-derived change log, verified against a plain-SQL last-writer-wins
+ * fold in DuckDB. This gives the engine's end-to-end path an external oracle
+ * beyond the in-repo tests.
+ *
+ * Mapping events → ChangeEvent (deterministic, no floats in the payload):
+ *   seq = event_id, key = (repo = 'r'||user_id%10, path = user_id),
+ *   op = 'd' when event_type='error' else 'u',
+ *   content = event_type||'#'||user_id||'#'||event_id (empty for deletes).
+ */
+object CdcQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events table → CDC change-event DataFrame (shared by Spark + oracle). */
+  def deriveLog(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      when(col("event_type") === "error", "d").otherwise("u").as("op"),
+      col("event_id").as("seq"),
+      concat(lit("r"), (col("user_id") % 10).cast("string")).as("repo"),
+      col("user_id").cast("string").as("path"),
+      col("event_id").cast("string").as("commit"),
+      col("event_type").as("lang"),
+      when(col("event_type") === "error", "")
+        .otherwise(concat(col("event_type"), lit("#"),
+          col("user_id").cast("string"), lit("#"),
+          col("event_id").cast("string"))).as("content"))
+
+  private val deriveSql =
+    """SELECT CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+              event_id AS seq,
+              'r' || CAST(user_id % 10 AS VARCHAR) AS repo,
+              CAST(user_id AS VARCHAR) AS path,
+              CAST(event_id AS VARCHAR) AS "commit",
+              event_type AS lang,
+              CASE WHEN event_type = 'error' THEN ''
+                   ELSE event_type || '#' || CAST(user_id AS VARCHAR) || '#'
+                        || CAST(event_id AS VARCHAR) END AS content
+       FROM events"""
+
+  private val foldSql =
+    s"""WITH log AS ($deriveSql),
+        latest AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+            ORDER BY seq DESC) AS rn
+          FROM log)
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS contentSha
+        FROM latest WHERE rn = 1 AND op <> 'd'
+        ORDER BY repo, path"""
+
+  val queries: Map[String, Q] = Map(
+    "c1_cdc_latest" -> ((s, d) => {
+      // latest event per user — max_by hash aggregate, not a window sort
+      events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          max(col("event_id")).as("last_event_id"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "c2_cdc_fold" -> ((s, d) => {
+      // pure-Spark last-writer-wins fold of the derived change log
+      val log = deriveLog(s, d)
+      log.groupBy("repo", "path")
+        .agg(max_by(struct(col("op"), col("commit"), col("lang"),
+          col("content")), col("seq")).as("e"))
+        .filter(col("e.op") =!= "d")
+        .select(col("repo"), col("path"), col("e.commit").as("commit"),
+          col("e.lang").as("lang"), col("e.content").as("content"),
+          sha2(col("e.content"), 256).as("contentSha"))
+        .orderBy("repo", "path")
+    }),
+
+    "c3_cdc_engine_replay" -> ((s, d) => {
+      // FLAGSHIP: the actual engine — 4-epoch replay through IceTable with
+      // offset fencing, dedup, CoW merge, manifest commits — must reproduce
+      // the SQL fold byte-for-byte (sha256 parity via DuckDB oracle).
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-engine-q").toString
+      val table = IceTable.create(s"$tmp/table", numBuckets = 16)
+      val log = deriveLog(s, d).as[ChangeEvent]
+      val bounds = log.agg(min($"seq"), max($"seq")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val n = hi - lo + 1
+      val nEpochs = 4
+      val per = math.max(1L, n / nEpochs)
+      val ranges = (0 until nEpochs).map { e =>
+        (e.toLong, lo + e * per - 1,
+          if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+      }
+      ReplayJob.run(s, table,
+        id => { val (_, l, h) = ranges(id.toInt)
+          log.filter($"seq" > l && $"seq" <= h) },
+        ranges, nLogPartitions = 16)
+      table.read(s)
+        .select("repo", "path", "commit", "lang", "content", "contentSha")
+        .orderBy("repo", "path")
+    }),
+
+    "c4_sessionize" -> ((s, d) => {
+      // session = events of a user with <30min gaps (lag + running count)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wAll = Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(wAll))
+        .groupBy("user_id")
+        .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "c5_hourly_window" -> ((s, d) => {
+      // event-time windowed aggregation (batch equivalent of the streaming
+      // tumbling-window agg; Spark's window() start == date_trunc hour)
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c1_cdc_latest" ->
+      """SELECT user_id, last_type, last_event_id, n_events FROM (
+           SELECT user_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn,
+                  event_type AS last_type,
+                  max(event_id) OVER (PARTITION BY user_id) AS last_event_id,
+                  count(*) OVER (PARTITION BY user_id) AS n_events
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "c2_cdc_fold" -> foldSql,
+    "c3_cdc_engine_replay" -> foldSql,
+    "c4_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         m AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM g),
+         sess AS (
+           SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM m)
+         SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id ORDER BY user_id""",
+    "c5_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+                round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators over the `documents` table: exact and
+ * near deduplication, text quality/statistics, language ID, fingerprinting.
+ * All are pure Column-expression plans (codegen'd, no UDFs) so they scale:
+ * tokenization is `split`, shingles are `transform(sequence(...))`, joins
+ * for pairwise similarity go through explode → shuffle on the shingle key.
+ */
+object DocQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** whitespace tokens of `text` */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** word n-gram shingles as an array column (n=3; empty if <3 tokens) */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> ((s, d) => {
+      // exact dedup by content hash: duplicate groups + survivor count
+      val h = documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+      h.groupBy("h").agg(count(lit(1)).as("n"), min("doc_id").as("survivor"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+          sum(col("n") - 1).as("n_removed"))
+    }),
+
+    "d2_token_stats" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        size(array_distinct(tokens(col("text")))).as("n_unique_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "d3_quality_score" -> ((s, d) => {
+      // heuristic quality features: stopword ratio, mean token length,
+      // non-alpha ratio — the length/punct/stopword scoring family
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t =>
+        t.isin("the", "a", "and", "of", "to", "in")))
+      val alphaLen = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      documents(s, d).select(
+        col("doc_id"),
+        round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+        round(alphaLen.cast("double") / length(col("text")), 4)
+          .as("alpha_ratio"),
+        round(length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / nTok, 4).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    "d4_lang_id" -> ((s, d) => {
+      // n-gram/stopword language heuristic with deterministic tie-break
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      val en = regexp_count(t, lit(" (the|and|a|of|to) "))
+      val de = regexp_count(t, lit(" (der|die|und|das|ist) "))
+      val fr = regexp_count(t, lit(" (le|la|et|les|des) "))
+      documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(en >= de && en >= fr && en > 0, "en")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("und").as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    "d5_jaccard_topk" -> ((s, d) => {
+      // n-gram Jaccard near-dup: explode distinct 3-shingles, self-join on
+      // the shingle key (shuffle join), aggregate intersections, top-20 pairs
+      val sh = documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles3(tokens(col("text"))))).as("sh"))
+        .distinct()
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(counts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+        .limit(20)
+    }),
+
+    "d6_fingerprint" -> ((s, d) => {
+      // polynomial rolling-hash document fingerprint over tokens — a pure
+      // fold expressed with `aggregate` (codegen'd, order-deterministic)
+      val toks = tokens(col("text"))
+      val tokVals = transform(toks, t =>
+        (length(t) * 97 + ascii(t)).cast("long"))
+      documents(s, d).select(
+        col("doc_id"),
+        aggregate(tokVals, lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    "d7_minhash_bands" -> ((s, d) => {
+      // MinHash + LSH banding (scale path for near-dup): k=16 hashes from
+      // xxhash64(shingle, seed), 4 bands × 4 rows; candidate pairs share a
+      // band value. No SQL oracle (engine-specific hash) → rows-only check.
+      val toks = tokens(col("text"))
+      val sh = array_distinct(shingles3(toks))
+      val sig = transform(sequence(lit(0), lit(15)), i =>
+        array_min(transform(sh, x => xxhash64(x, i))))
+      val banded = documents(s, d)
+        .select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * 4 + 1, lit(4)).cast("string"))
+              .as("bh")))).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d8_simhash" -> ((s, d) => {
+      // 64-bit SimHash: sign of per-bit vote sum over token hashes.
+      // Pure expression fold: acc is a 64-int vote vector, zip_with adds the
+      // ±1 votes of each token hash. Two-step select so the vote vector is
+      // materialized once, not duplicated 64× in the bit projection.
+      val toks = tokens(col("text"))
+      val votes = aggregate(
+        transform(toks, t => xxhash64(t)),
+        array_repeat(lit(0), 64),
+        (acc, h) => zip_with(acc,
+          array((0 until 64).map(i =>
+            when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+          (a, b) => a + b))
+      documents(s, d)
+        .select(col("doc_id"), votes.as("votes"))
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(element_at(col("votes"), i + 1) > 0, lit(1L << i))
+              .otherwise(lit(0L)))
+            .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    "m1_multimodal_meta" -> ((s, d) => {
+      // multimodal plumbing: payload as opaque binary + typed metadata.
+      // The "decode" is a deterministic fake (md5 digest) — the real image/
+      // audio decoder would slot into the same binary→features projection.
+      documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"),
+        (octet_length(col("text").cast("binary")) % 10).as("fake_label"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         g AS (SELECT h, count(*) AS n, min(doc_id) AS survivor
+               FROM h GROUP BY h)
+         SELECT count(*) AS n_groups,
+                CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_groups,
+                CAST(sum(n - 1) AS BIGINT) AS n_removed
+         FROM g""",
+    "d2_token_stats" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                length(text) AS n_chars_actual,
+                len(list_distinct(string_split_regex(trim(text), '\s+')))
+                  AS n_unique_tokens
+         FROM documents ORDER BY doc_id""",
+    "d3_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+                round(CAST(len(list_filter(toks, x -> x IN
+                  ('the','a','and','of','to','in'))) AS DOUBLE)
+                  / len(toks), 4) AS stopword_ratio,
+                round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  AS DOUBLE) / length(text), 4) AS alpha_ratio,
+                round(CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                  AS DOUBLE) / len(toks), 4) AS mean_token_len
+         FROM t ORDER BY doc_id""",
+    "d4_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, lang, ' ' || lower(text) || ' ' AS tt
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang,
+                  len(regexp_extract_all(tt, ' (the|and|a|of|to) ')) AS en,
+                  len(regexp_extract_all(tt, ' (der|die|und|das|ist) ')) AS de,
+                  len(regexp_extract_all(tt, ' (le|la|et|les|des) ')) AS fr
+           FROM t)
+         SELECT doc_id, lang AS labeled_lang,
+                CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                     WHEN de >= fr AND de > 0 THEN 'de'
+                     WHEN fr > 0 THEN 'fr'
+                     ELSE 'und' END AS predicted_lang
+         FROM c ORDER BY doc_id""",
+    "d5_jaccard_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_filter(
+                    list_transform(l, (x, i) -> CASE WHEN i + 2 <= len(l)
+                      THEN l[CAST(i AS INT)] || ' ' || l[CAST(i+1 AS INT)]
+                           || ' ' || l[CAST(i+2 AS INT)] END),
+                    y -> y IS NOT NULL)) AS sh
+           FROM tok),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4)
+                  AS jaccard
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = doc_a
+         JOIN cnt cb ON cb.doc_id = doc_b
+         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20""",
+    "d6_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(trim(text), '\s+'),
+                      t -> CAST(length(t) * 97 + ascii(t) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS n_bytes,
+                md5(text) AS digest,
+                octet_length(encode(text)) % 10 AS fake_label
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over the `embeddings` table (Array[Float] column).
+ *
+ * Determinism across engines: floats are quantized to integer milli-units
+ * first, so dot products and norms are EXACT integer arithmetic
+ * (order-independent) and the final cosine is one double division + sqrt —
+ * bit-identical in Spark and DuckDB. This is what makes a float-heavy
+ * operator oracle-checkable.
+ *
+ * Scale path: brute-force top-k is a crossJoin(broadcast(queries)) — the
+ * right plan when the query set is small. The LSH variant (v3) buckets
+ * vectors by random-hyperplane sign bits so candidate generation is a
+ * bucket-equijoin instead of a cross product — the 100 TB shape.
+ */
+object VectorQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** quantized vector: round(x * 1000) as long per element */
+  def qvec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000, 0).cast("long"))
+
+  /** integer dot product of two quantized vectors */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  val queries: Map[String, Q] = Map(
+    "v1_knn_bruteforce" -> ((s, d) => {
+      // top-5 cosine neighbors for query vectors (vec_id < 5)
+      val e = embeddings(s, d).select(col("vec_id"), qvec(col("embedding")).as("q"))
+      val norms = e.select(col("vec_id"), col("q"),
+        idot(col("q"), col("q")).as("nrm"))
+      val queriesDf = norms.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nrm").as("qn"))
+      val joined = norms.crossJoin(broadcast(queriesDf))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(idot(col("q"), col("qq")).cast("double") /
+            sqrt(col("nrm").cast("double") * col("qn").cast("double")), 6)
+            .as("cosine"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("cosine"), asc("vec_id"))
+      joined.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "v2_norm_stats" -> ((s, d) => {
+      // per-label vector statistics (min/max are order-independent)
+      embeddings(s, d)
+        .select(col("label"),
+          sqrt(idot(qvec(col("embedding")), qvec(col("embedding")))
+            .cast("double")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(min("nrm"), 4).as("min_norm"),
+          round(max("nrm"), 4).as("max_norm"))
+        .orderBy("label")
+    }),
+
+    "v3_lsh_buckets" -> ((s, d) => {
+      // random-hyperplane LSH: 8 sign bits from fixed pseudo-random planes
+      // (deterministic: plane p component i = ((p*73 + i*37) % 19) - 9).
+      // Bucket histogram — candidate generation becomes a bucket equijoin.
+      val q = qvec(col("embedding"))
+      val bits = (0 until 8).map { p =>
+        val proj = aggregate(
+          zip_with(q, sequence(lit(0), lit(63)),
+            (x, i) => x * (((lit(p) * 73 + i * 37) % 19) - 9)),
+          lit(0L), (acc, v) => acc + v)
+        when(proj > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      embeddings(s, d)
+        .select(col("vec_id"), bits.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v1_knn_bruteforce" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nrm
+           FROM q),
+         qs AS (SELECT vec_id AS query_id, qv AS qq, nrm AS qn
+                FROM n WHERE vec_id < 5),
+         sim AS (
+           SELECT qs.query_id, n.vec_id,
+                  round(
+                    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 65),
+                        i -> n.qv[CAST(i AS INT)] * qs.qq[CAST(i AS INT)])),
+                      (a, b) -> a + b) AS DOUBLE)
+                    / sqrt(CAST(n.nrm AS DOUBLE) * CAST(qs.qn AS DOUBLE)),
+                    6) AS cosine
+           FROM n CROSS JOIN qs WHERE n.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rnk
+           FROM sim)
+         SELECT query_id, rnk, vec_id AS neighbor_id, cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "v2_norm_stats" ->
+      """WITH q AS (
+           SELECT label,
+                  sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)
+                           * CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))),
+                    (a, b) -> a + b) AS DOUBLE)) AS nrm
+           FROM embeddings)
+         SELECT label, count(*) AS n, round(min(nrm), 4) AS min_norm,
+                round(max(nrm), 4) AS max_norm
+         FROM q GROUP BY label ORDER BY label"""
+  )
+}
