@@ -33,6 +33,15 @@ import java.nio.file.{Files, Paths}
  */
 object MergeEngine {
 
+  private val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+  private def timed[T](name: String)(f: => T): T =
+    if (!timing) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[timing] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   final case class EpochOutcome(
       manifest: EpochManifest,
       skipped: Boolean,          // fully fenced (replayed epoch)
@@ -92,26 +101,32 @@ object MergeEngine {
 
     // --- 3. dedup: last-writer-wins by seq per key -----------------------
     // max_by(struct, seq): hash aggregate w/ partial combine (skew-immune).
+    // Single shuffle over the epoch's events. The winner's seq per key IS
+    // the key's max seq, so per-log-partition high watermarks are derivable
+    // from the deduped output — no second full scan of the input.
     val deduped = fresh
       .groupBy($"repo", $"path")
       .agg(
         max_by(struct($"op", $"seq", $"commit", $"lang", $"content"), $"seq")
           .as("e"),
         count(lit(1)).as("nEvents"),
-        max($"seq").as("maxSeq"),
         first($"logPart").as("logPart"))
       .select($"repo", $"path", $"e.op".as("op"), $"e.seq".as("seq"),
         $"e.commit".as("commit"), $"e.lang".as("lang"),
         $"e.content".as("content"), $"nEvents", $"logPart")
+      .withColumn("bucket", table.bucketCol($"repo", $"path"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // counters + new per-partition high watermarks in ONE aggregate pass
-    val aggRow = fresh
-      .groupBy($"logPart").agg(count(lit(1)).as("n"), max($"seq").as("hi"))
-      .collect()
-    val freshCount = aggRow.map(_.getAs[Long]("n")).sum
-    val newHighs: Map[Int, Long] =
-      aggRow.map(r => r.getAs[Int]("logPart") -> r.getAs[Long]("hi")).toMap
+    // one small collect: counters, watermarks, bucket pruning, all at once
+    val perGroup = timed("dedup+stats")(deduped.groupBy($"bucket", $"logPart")
+      .agg(count(lit(1)).as("nKeys"), sum($"nEvents").as("nEv"),
+        sum(when($"op" === "d", 1L).otherwise(0L)).as("nDel"),
+        max($"seq").as("hi"))
+      .collect())
+    val freshCount = perGroup.map(_.getAs[Long]("nEv")).sum
+    val newHighs: Map[Int, Long] = perGroup
+      .groupBy(_.getAs[Int]("logPart"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("hi")).max }
 
     if (freshCount == 0) {
       // fully fenced epoch (pure replay) — commit nothing, state unchanged.
@@ -123,15 +138,14 @@ object MergeEngine {
         EpochStats(0, quarantined, 0, 0, 0))
     }
 
-    val upsertCount = deduped.count()
+    val upsertCount = perGroup.map(_.getAs[Long]("nKeys")).sum
     val dedupDrops = freshCount - upsertCount
-    val deleteCount = deduped.filter($"op" === "d").count()
+    val deleteCount = perGroup.map(_.getAs[Long]("nDel")).sum
 
     // --- 4. copy-on-write MERGE over affected buckets --------------------
-    val updates = deduped.withColumn("bucket",
-      table.bucketCol($"repo", $"path"))
-    val affectedBuckets: Set[Int] = updates.select($"bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    val updates = deduped
+    val affectedBuckets: Set[Int] =
+      perGroup.map(_.getAs[Int]("bucket")).toSet
 
     val schemaIdNow = parent.map(_.schemaId).getOrElse(SchemaRegistry.baseSchemaId)
     val targetSchema = SchemaRegistry.schemaFor(schemaIdNow)
@@ -166,7 +180,8 @@ object MergeEngine {
       .filter(coalesce($"u.op", lit("")) =!= "d")
       .select(resolved: _*)
 
-    val newFiles = table.writeEpochFiles(merged, epochId, schemaIdNow)
+    val newFiles = timed("merge+write")(
+      table.writeEpochFiles(merged, epochId, schemaIdNow))
     deduped.unpersist()
 
     // --- 5. manifest: carry-forward + new files + merged offsets ---------
@@ -194,7 +209,7 @@ object MergeEngine {
       stats = stats,
       parentVersion = parentVersion)
 
-    table.commit(manifest)
+    timed("commit")(table.commit(manifest))
     EpochOutcome(manifest, skipped = false, stats)
   }
 

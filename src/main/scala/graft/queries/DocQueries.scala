@@ -116,19 +116,23 @@ object DocQueries {
     }),
 
     "d7_minhash_bands" -> ((s, d) => {
-      // MinHash + LSH banding (scale path for near-dup): k=16 hashes from
-      // xxhash64(shingle, seed), 4 bands × 4 rows; candidate pairs share a
-      // band value. No SQL oracle (engine-specific hash) → rows-only check.
-      val toks = tokens(col("text"))
-      val sh = array_distinct(shingles3(toks))
-      val sig = transform(sequence(lit(0), lit(15)), i =>
-        array_min(transform(sh, x => xxhash64(x, i))))
-      val banded = documents(s, d)
-        .select(col("doc_id"), sig.as("sig"))
-        .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * 4 + 1, lit(4)).cast("string"))
-              .as("bh")))).as("e"))
+      // MinHash + LSH banding (scale path for near-dup): k=16 min-hashes
+      // computed as 16 `min` aggregates over exploded shingles (ONE hash-agg
+      // pass with map-side combine — the 100 TB shape), then 4 bands × 4
+      // rows; candidate pairs share a band hash. No SQL oracle
+      // (engine-specific xxhash64) → rows-only check.
+      val sh = documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles3(tokens(col("text"))))).as("sh"))
+      val minCols = (0 until 16).map(i =>
+        min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*)
+            .as("bh")))
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
         .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
