@@ -36,11 +36,10 @@ object ReplayJob {
       nLogPartitions: Int = 32,
       stateDir: Option[String] = None): Seq[EpochReport] = {
     epochRanges.map { case (epochId, lo, hi) =>
-      val prev = table.currentManifest()
-        .map(_.offsets.map(o => o.partitionId -> o.highSeq).toMap)
-        .getOrElse(Map.empty[Int, Long])
+      val prev = MergeEngine.committedHighs(table.currentManifest())
       val out = MergeEngine.applyEpoch(spark, table, events(epochId), epochId,
-        nLogPartitions, stateDir.map(d => s"$d/quarantine"))
+        nLogPartitions, stateDir.map(d => s"$d/quarantine"),
+        claimedRange = Some((lo, hi)))
       stateDir.foreach { d =>
         if (!out.skipped)
           MergeEngine.writeLineage(spark, d, epochId, prev,

@@ -36,9 +36,9 @@ object StreamingIngest {
       maxFilesPerTrigger: Option[Int] = None) = {
     import spark.implicits._
     val schema = spark.emptyDataset[ChangeEvent].schema
-    val reader = spark.readStream.schema(schema)
+    var reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n =>
-      reader.option("maxFilesPerTrigger", n.toString))
+      reader = reader.option("maxFilesPerTrigger", n.toString))
     val stream = reader.parquet(logDir).as[ChangeEvent]
 
     stream.writeStream
@@ -46,9 +46,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
-        val prev = table.currentManifest()
-          .map(_.offsets.map(o => o.partitionId -> o.highSeq).toMap)
-          .getOrElse(Map.empty[Int, Long])
+        val prev = MergeEngine.committedHighs(table.currentManifest())
         val out = MergeEngine.applyEpoch(spark, table, batch, batchId,
           nLogPartitions, stateDir.map(d => s"$d/quarantine"))
         stateDir.foreach { d =>

@@ -1,0 +1,26 @@
+package graft.merge
+
+/** Disjoint half-open-low interval sets `(lo, hi]` with touch-merge — the
+  * reference's connected-offset-range span (IcebergMetadataWriter.java:406-435). */
+object Intervals {
+
+  /** normalize: sort + merge overlapping or touching intervals */
+  def normalize(xs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = xs.filter(i => i._2 > i._1).sortBy(_._1)
+    sorted.foldLeft(List.empty[(Long, Long)]) {
+      case (acc @ ((alo, ahi) :: rest), (lo, hi)) =>
+        if (lo <= ahi) (alo, math.max(ahi, hi)) :: rest   // overlap / touch
+        else (lo, hi) :: acc
+      case (Nil, i) => i :: Nil
+    }.reverse
+  }
+
+  def add(xs: Seq[(Long, Long)], i: (Long, Long)): Seq[(Long, Long)] =
+    normalize(xs :+ i)
+
+  def covers(xs: Seq[(Long, Long)], seq: Long): Boolean =
+    xs.exists { case (lo, hi) => seq > lo && seq <= hi }
+
+  def maxHigh(xs: Seq[(Long, Long)]): Long =
+    if (xs.isEmpty) Long.MinValue else xs.map(_._2).max
+}

@@ -3,22 +3,33 @@ package graft.merge
 import graft.model._
 import graft.pipeline.RowPolicies
 import graft.table.{IceTable, SchemaRegistry}
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import java.nio.file.{Files, Paths}
 
 /**
- * Epoch apply: quality-check → per-partition offset fence → key dedup →
- * copy-on-write MERGE into the IceTable → atomic manifest commit.
+ * Epoch apply: quality-check → offset-interval fence → key dedup →
+ * seq-aware copy-on-write MERGE into the IceTable → atomic manifest commit.
  *
  * This is the Spark-native re-expression of the reference's task dataflow
  * (extractor → converters → row-quality → writer → publisher,
  * gobblin-runtime/.../StreamModelTaskRunner.java:79-170) collapsed into one
  * declarative plan per epoch, with Gobblin's commit machinery
  * (FineGrainedWatermarkTracker + IcebergMetadataWriter.flush) replaced by a
- * single atomic snapshot commit whose manifest carries the per-partition
- * offset ranges (the replay fence).
+ * single atomic snapshot commit whose manifest carries the committed
+ * per-partition offset ranges (the replay fence).
+ *
+ * Delivery-order safety: micro-batches need NOT arrive in seq order.
+ *  - The fence drops only events lying INSIDE an already-committed offset
+ *    interval (exact replays) — the reference's connected-range fence
+ *    (IcebergMetadataWriter.mergeOffsets, :406-435), generalized to interval
+ *    sets so an out-of-order batch is never wrongly dropped.
+ *  - The MERGE itself is last-writer-wins BY SEQ against the stored row's
+ *    `lastSeq`, with delete tombstones — a true LWW register per key, so
+ *    applying batches in any order converges to the same table. Tombstones
+ *    keep late stale updates from resurrecting deleted keys; the compaction
+ *    job purges them once the log horizon passes (SURVEY.md §2.9).
  *
  * Scale notes (designed for 1000 executors / 100 TB):
  *  - Dedup is `groupBy(repo, path).agg(max_by(...))` — a hash aggregate with
@@ -28,8 +39,8 @@ import java.nio.file.{Files, Paths}
  *  - The MERGE join runs only over buckets the epoch touches (bucket pruning
  *    via the manifest file list); untouched buckets' files carry forward by
  *    reference — rewrite amplification is bounded by bucket width.
- *  - All counters come from a single pass over the persisted upsert set
- *    (small: post-dedup) plus `observe`-style aggregates; no driver loops.
+ *  - Counters come from one small collect on the deduped output plus an
+ *    `Observation` evaluated inside the write job — no extra passes.
  */
 object MergeEngine {
 
@@ -52,11 +63,21 @@ object MergeEngine {
   def logPartitionCol(nLogPartitions: Int): Column =
     pmod(xxhash64(col("repo"), col("path")), lit(nLogPartitions)).cast("int")
 
+  /** committed interval set per partition from a manifest */
+  def committedIntervals(m: Option[EpochManifest]): Map[Int, Seq[(Long, Long)]] =
+    m.map(_.offsets.groupBy(_.partitionId).map { case (p, rs) =>
+      p -> Intervals.normalize(rs.map(r => (r.lowSeq, r.highSeq)))
+    }).getOrElse(Map.empty)
+
+  /** per-partition committed high watermark (for lineage/lag reporting) */
+  def committedHighs(m: Option[EpochManifest]): Map[Int, Long] =
+    committedIntervals(m).map { case (p, ivs) => p -> Intervals.maxHigh(ivs) }
+
   /**
-   * Apply one epoch of change events to `table`. Idempotent: events at or
-   * below the committed per-partition high watermark are filtered out (the
-   * "skip records below next watermark" dedup of KafkaExtractor.java:179-183);
-   * an epoch whose events are all fenced commits no new snapshot.
+   * Apply one epoch of change events to `table`. Idempotent: events inside
+   * an already-committed offset interval are filtered out; an epoch whose
+   * events are all fenced commits no new snapshot. Order-independent: stale
+   * events lose LWW against `lastSeq` instead of corrupting state.
    */
   def applyEpoch(
       spark: SparkSession,
@@ -64,17 +85,19 @@ object MergeEngine {
       rawEvents: Dataset[ChangeEvent],
       epochId: Long,
       nLogPartitions: Int = 32,
-      quarantineDir: Option[String] = None): EpochOutcome = {
+      quarantineDir: Option[String] = None,
+      pipeline: graft.pipeline.Transform.T = graft.pipeline.Transform.identity,
+      taskPolicies: Seq[graft.pipeline.TaskPolicies.Policy] =
+        Seq(graft.pipeline.TaskPolicies.RowCountReconciliation()),
+      claimedRange: Option[(Long, Long)] = None): EpochOutcome = {
     import spark.implicits._
 
     val parent = table.currentManifest()
     val parentVersion = parent.map(_.version).getOrElse(-1L)
-    val committed: Map[Int, Long] = parent
-      .map(_.offsets.map(o => o.partitionId -> o.highSeq).toMap)
-      .getOrElse(Map.empty)
+    val committedIv = committedIntervals(parent)
 
-    // --- 1. quality gate (RowLevelPolicy analog) -------------------------
-    val withPart = rawEvents.toDF()
+    // --- 1. converter chain + quality gate (Converter/RowLevelPolicy) ----
+    val withPart = pipeline(rawEvents.toDF())
       .withColumn("logPart", logPartitionCol(nLogPartitions))
     val good = withPart.filter(RowPolicies.passAll())
     val bad = withPart.filter(!RowPolicies.passAll())
@@ -91,61 +114,98 @@ object MergeEngine {
       case None => 0L
     }
 
-    // --- 2. offset fence (exactly-once replay dedup) ---------------------
-    val fence: Column = if (committed.isEmpty) lit(true) else {
-      val fenceMap = map(committed.toSeq.sortBy(_._1)
-        .flatMap { case (p, h) => Seq(lit(p), lit(h)) }: _*)
-      col("seq") > coalesce(fenceMap(col("logPart")), lit(Long.MinValue))
-    }
+    // --- 2. offset-interval fence (exact-replay dedup) -------------------
+    val fence: Column =
+      if (committedIv.isEmpty) lit(true)
+      else committedIv.toSeq.sortBy(_._1).map { case (p, ivs) =>
+        val inside = ivs.map { case (lo, hi) =>
+          col("seq") > lo && col("seq") <= hi }.reduce(_ || _)
+        !(col("logPart") === p && inside)
+      }.reduce(_ && _)
     val fresh = good.filter(fence)
 
     // --- 3. dedup: last-writer-wins by seq per key -----------------------
     // max_by(struct, seq): hash aggregate w/ partial combine (skew-immune).
-    // Single shuffle over the epoch's events. The winner's seq per key IS
-    // the key's max seq, so per-log-partition high watermarks are derivable
-    // from the deduped output — no second full scan of the input.
+    // Single shuffle over the epoch's events; per-key min/max seq aggregate
+    // up to exact per-partition offset intervals — no second input scan.
     val deduped = fresh
       .groupBy($"repo", $"path")
       .agg(
         max_by(struct($"op", $"seq", $"commit", $"lang", $"content"), $"seq")
           .as("e"),
         count(lit(1)).as("nEvents"),
+        min($"seq").as("minSeq"),
         first($"logPart").as("logPart"))
       .select($"repo", $"path", $"e.op".as("op"), $"e.seq".as("seq"),
         $"e.commit".as("commit"), $"e.lang".as("lang"),
-        $"e.content".as("content"), $"nEvents", $"logPart")
+        $"e.content".as("content"), $"nEvents", $"minSeq", $"logPart")
       .withColumn("bucket", table.bucketCol($"repo", $"path"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // one small collect: counters, watermarks, bucket pruning, all at once
+    // one small collect: counters, intervals, bucket pruning, all at once
     val perGroup = timed("dedup+stats")(deduped.groupBy($"bucket", $"logPart")
       .agg(count(lit(1)).as("nKeys"), sum($"nEvents").as("nEv"),
-        sum(when($"op" === "d", 1L).otherwise(0L)).as("nDel"),
-        max($"seq").as("hi"))
+        min($"minSeq").as("lo"), max($"seq").as("hi"))
       .collect())
     val freshCount = perGroup.map(_.getAs[Long]("nEv")).sum
-    val newHighs: Map[Int, Long] = perGroup
-      .groupBy(_.getAs[Int]("logPart"))
-      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("hi")).max }
+
+    // this epoch's claimed offset interval per partition: if the caller
+    // declared the slice's global range (batch replay knows it), EVERY
+    // partition claims it — including partitions with no events this epoch,
+    // which must still persist offsets (the reference's empty-WorkUnit rule,
+    // KafkaSource.java:404-411) so the purge horizon can advance and the
+    // manifest stays at one merged interval per partition. Otherwise
+    // (unknown provenance, e.g. a file-stream micro-batch) claim only the
+    // per-partition observed (minSeq-1, maxSeq] — conservative but safe
+    // under any delivery order.
+    val newIv: Map[Int, (Long, Long)] = claimedRange match {
+      case Some((lo, hi)) =>
+        (0 until nLogPartitions).map(p => p -> (lo, hi)).toMap
+      case None => perGroup
+        .groupBy(_.getAs[Int]("logPart"))
+        .map { case (p, rs) =>
+          p -> (rs.map(_.getAs[Long]("lo")).min - 1,
+            rs.map(_.getAs[Long]("hi")).max)
+        }
+    }
+    def mergedOffsets: Seq[OffsetRange] =
+      (committedIv.keySet ++ newIv.keySet).toSeq.sorted.flatMap { p =>
+        val ivs = Intervals.normalize(
+          committedIv.getOrElse(p, Nil) ++ newIv.get(p).toSeq)
+        ivs.map { case (lo, hi) => OffsetRange(p, lo, hi) }
+      }
 
     if (freshCount == 0) {
-      // fully fenced epoch (pure replay) — commit nothing, state unchanged.
       deduped.unpersist()
-      val m = parent.getOrElse(
-        EpochManifest(-1L, epochId, SchemaRegistry.baseSchemaId, Nil, Nil,
-          EpochStats(0, quarantined, 0, 0, 0), -1L))
-      return EpochOutcome(m, skipped = true,
-        EpochStats(0, quarantined, 0, 0, 0))
+      val st = EpochStats(0, quarantined, 0, 0, 0, 0)
+      val alreadyCovered = claimedRange.forall { case (lo, hi) =>
+        (0 until nLogPartitions).forall(p =>
+          committedIv.get(p).exists(ivs =>
+            Intervals.normalize(ivs ++ Seq((lo, hi))) == ivs))
+      }
+      if (alreadyCovered || parent.isEmpty && claimedRange.isEmpty) {
+        // fully fenced epoch (pure replay) — commit nothing.
+        val m = parent.getOrElse(
+          EpochManifest(-1L, epochId, SchemaRegistry.baseSchemaId, Nil, Nil,
+            st, -1L))
+        return EpochOutcome(m, skipped = true, st)
+      }
+      // genuinely empty slice with a declared range: metadata-only commit
+      // persisting the claimed offsets (empty-WorkUnit analog).
+      val m = parent
+        .map(pm => pm.copy(version = pm.version + 1, epochId = epochId,
+          offsets = mergedOffsets, stats = st, parentVersion = pm.version))
+        .getOrElse(EpochManifest(0L, epochId, SchemaRegistry.baseSchemaId,
+          Nil, mergedOffsets, st, -1L))
+      table.commit(m)
+      return EpochOutcome(m, skipped = true, st)
     }
 
     val upsertCount = perGroup.map(_.getAs[Long]("nKeys")).sum
     val dedupDrops = freshCount - upsertCount
-    val deleteCount = perGroup.map(_.getAs[Long]("nDel")).sum
 
-    // --- 4. copy-on-write MERGE over affected buckets --------------------
-    val updates = deduped
-    val affectedBuckets: Set[Int] =
-      perGroup.map(_.getAs[Int]("bucket")).toSet
+    // --- 4. seq-aware copy-on-write MERGE over affected buckets ----------
+    val affectedBuckets: Set[Int] = perGroup.map(_.getAs[Int]("bucket")).toSet
 
     val schemaIdNow = parent.map(_.schemaId).getOrElse(SchemaRegistry.baseSchemaId)
     val targetSchema = SchemaRegistry.schemaFor(schemaIdNow)
@@ -156,58 +216,77 @@ object MergeEngine {
 
     val current = table.readFiles(spark, touchedFiles, schemaIdNow)
 
-    // Resolution per target-schema column, by stable colId: update-side
-    // payload wins when the update is newer; columns the ChangeEvent payload
-    // doesn't carry (post-evolution additions) keep the current-row value.
+    // LWW resolution per target-schema column, by stable colId. The update
+    // wins only if strictly newer than the stored row's lastSeq; a winning
+    // delete writes a tombstone. Columns the ChangeEvent payload doesn't
+    // carry (post-evolution additions) keep the current-row value.
     val updateColByColId = Map(1 -> "repo", 2 -> "path", 3 -> "commit",
       4 -> "lang", 5 -> "content")
-    val u = updates.as("u")
+    val u = deduped.as("u")
     val c = current.as("c")
+    val uWins = $"u.seq".isNotNull &&
+      ($"c.lastSeq".isNull || $"u.seq" > $"c.lastSeq")
+    val isDel = uWins && $"u.op" === "d"
     val resolved: Seq[Column] = targetSchema.columns.map { tc =>
       tc.colId match {
         case 1 => col("repo")
         case 2 => col("path")
-        case 6 => when($"u.seq".isNotNull, sha2($"u.content", 256))
+        case 6 => when(isDel, lit(null))
+          .when(uWins, sha2($"u.content", 256))
           .otherwise(col(s"c.${tc.name}")).as(tc.name)
         case cid if updateColByColId.contains(cid) =>
-          coalesce(col(s"u.${updateColByColId(cid)}"), col(s"c.${tc.name}"))
-            .as(tc.name)
-        case _ => col(s"c.${tc.name}").as(tc.name)
+          when(isDel, lit(null))
+            .when(uWins, col(s"u.${updateColByColId(cid)}"))
+            .otherwise(col(s"c.${tc.name}")).as(tc.name)
+        case _ =>
+          when(isDel, lit(null)).otherwise(col(s"c.${tc.name}")).as(tc.name)
       }
-    } :+ coalesce($"u.bucket", $"c.bucket").as("bucket")
+    } ++ Seq(
+      coalesce($"u.bucket", $"c.bucket").as("bucket"),
+      when(uWins, $"u.seq").otherwise($"c.lastSeq").as("lastSeq"),
+      when(isDel, lit(true)).when(uWins, lit(false))
+        .otherwise(coalesce($"c.deleted", lit(false))).as("deleted"),
+      when(isDel, "del").when(uWins, "up")
+        .when($"u.seq".isNotNull, "stale").otherwise("keep").as("_tag"))
 
+    val obs = Observation(s"epoch-$epochId-${System.nanoTime()}")
     val merged = c.join(u, Seq("repo", "path"), "full_outer")
-      .filter(coalesce($"u.op", lit("")) =!= "d")
       .select(resolved: _*)
+      .observe(obs,
+        sum(when($"_tag" === "up", 1L).otherwise(0L)).as("up"),
+        sum(when($"_tag" === "del", 1L).otherwise(0L)).as("del"),
+        sum(when($"_tag" === "stale", 1L).otherwise(0L)).as("stale"))
+      .drop("_tag")
 
     val newFiles = timed("merge+write")(
       table.writeEpochFiles(merged, epochId, schemaIdNow))
     deduped.unpersist()
 
-    // --- 5. manifest: carry-forward + new files + merged offsets ---------
-    val mergedOffsets: Seq[OffsetRange] =
-      (committed.keySet ++ newHighs.keySet).toSeq.sorted.map { p =>
-        val lo = committed.getOrElse(p, -1L)
-        val hi = math.max(newHighs.getOrElse(p, Long.MinValue),
-          committed.getOrElse(p, Long.MinValue))
-        OffsetRange(p, lo, hi)
-      }
+    val metrics = obs.get
+    val applied = metrics("up").asInstanceOf[Long]
+    val deletes = metrics("del").asInstanceOf[Long]
+    val stale = metrics("stale").asInstanceOf[Long]
 
+    // --- 5. manifest: carry-forward files + interval-merged offsets ------
     val stats = EpochStats(
       rowsExtracted = freshCount + quarantined,
       rowsQuarantined = quarantined,
       dedupDrops = dedupDrops,
-      rowsApplied = upsertCount - deleteCount,
-      deletesApplied = deleteCount)
+      rowsApplied = applied,
+      deletesApplied = deletes,
+      staleDrops = stale)
 
     val manifest = EpochManifest(
       version = parentVersion + 1,
       epochId = epochId,
-      schemaId = parent.map(_.schemaId).getOrElse(SchemaRegistry.baseSchemaId),
+      schemaId = schemaIdNow,
       files = (keptFiles ++ newFiles).sortBy(f => (f.bucket, f.path)),
       offsets = mergedOffsets,
       stats = stats,
       parentVersion = parentVersion)
+
+    // --- 6. task-level policy gate: abort (no commit) on failure ---------
+    graft.pipeline.TaskPolicies.enforce(taskPolicies, stats)
 
     timed("commit")(table.commit(manifest))
     EpochOutcome(manifest, skipped = false, stats)
@@ -218,12 +297,13 @@ object MergeEngine {
                    prev: Map[Int, Long], cur: Seq[OffsetRange],
                    stats: EpochStats): Unit = {
     import spark.implicits._
-    val globalHigh = cur.map(_.highSeq).foldLeft(Long.MinValue)(math.max)
-    val rows = cur.map { o =>
-      LineageRow(epochId, o.partitionId,
-        prev.getOrElse(o.partitionId, -1L), o.highSeq,
+    val highs = cur.groupBy(_.partitionId)
+      .map { case (p, rs) => p -> rs.map(_.highSeq).max }
+    val globalHigh = highs.values.foldLeft(Long.MinValue)(math.max)
+    val rows = highs.toSeq.sortBy(_._1).map { case (p, hi) =>
+      LineageRow(epochId, p, prev.getOrElse(p, -1L), hi,
         stats.rowsApplied, stats.dedupDrops,
-        watermarkLag = globalHigh - o.highSeq)
+        watermarkLag = globalHigh - hi)
     }
     Files.createDirectories(Paths.get(stateDir))
     rows.toDS().coalesce(1).write.mode("overwrite")

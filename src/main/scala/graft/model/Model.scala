@@ -36,19 +36,25 @@ final case class FileRow(
     content: String,
     contentSha: String)
 
-/** `(lowSeq, highSeq]` pulled from one log partition — open-low, closed-high,
-  * matching the reference's offset-range fence semantics
-  * (IcebergMetadataWriter.java:394-397). */
+/** `(lowSeq, highSeq]` committed from one log partition — open-low,
+  * closed-high. A partition may own SEVERAL disjoint ranges when micro-
+  * batches arrive out of order (file batches have no global order
+  * guarantee); ranges merge when they touch — exactly the reference's
+  * connected-range span merge (IcebergMetadataWriter.mergeOffsets,
+  * gobblin-iceberg/.../IcebergMetadataWriter.java:406-435). */
 final case class OffsetRange(partitionId: Int, lowSeq: Long, highSeq: Long)
 
 /** Per-epoch, per-table counters — Gobblin job-state counter parity
-  * (KafkaExtractorStatsTracker.java:66-76). */
+  * (KafkaExtractorStatsTracker.java:66-76). `staleDrops` counts updates
+  * that lost last-writer-wins against an already-applied newer row
+  * (possible only under out-of-order delivery). */
 final case class EpochStats(
     rowsExtracted: Long,
     rowsQuarantined: Long,
     dedupDrops: Long,
     rowsApplied: Long,
-    deletesApplied: Long)
+    deletesApplied: Long,
+    staleDrops: Long = 0L)
 
 /** One data file referenced by a snapshot manifest. `schemaId` records the
   * content schema the file was WRITTEN with; readers evolve it forward to the

@@ -85,11 +85,18 @@ final class IceTable(val dir: String, val numBuckets: Int) {
 
   // ---- reads ------------------------------------------------------------
 
-  /** Current table state as a DataFrame (+ bucket partition col), projected
-    * to the snapshot's current schema. Only manifest-listed files are read;
-    * files written under an older schema are evolved at read time by
-    * column-id projection (no rewrite). */
-  def read(spark: SparkSession): DataFrame = currentManifest() match {
+  /** Current table state as the USER view: tombstones filtered, physical
+    * columns (bucket, lastSeq, deleted) dropped, projected to the snapshot's
+    * current schema. Only manifest-listed files are read; files written
+    * under an older schema are evolved at read time by column-id projection
+    * (no rewrite). */
+  def read(spark: SparkSession): DataFrame =
+    readRaw(spark)
+      .filter(!coalesce(col("deleted"), lit(false)))
+      .drop("bucket", "lastSeq", "deleted")
+
+  /** Raw view incl. physical columns and tombstones (merge/maintenance). */
+  def readRaw(spark: SparkSession): DataFrame = currentManifest() match {
     case None => emptyDf(spark)
     case Some(m) => readFiles(spark, m.files, m.schemaId)
   }
@@ -111,7 +118,10 @@ final class IceTable(val dir: String, val numBuckets: Int) {
 
   private def emptyDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.emptyDataset[FileRow].withColumn("bucket", lit(0))
+    spark.emptyDataset[FileRow]
+      .withColumn("bucket", lit(0))
+      .withColumn("lastSeq", lit(null).cast("long"))
+      .withColumn("deleted", lit(false))
   }
 
   // ---- writes -----------------------------------------------------------

@@ -72,8 +72,11 @@ object SchemaRegistry {
   /** Project a DataFrame written under `fileSchema` to `targetSchema`:
     * column-id matched rename + widen cast + null-fill, as Column exprs
     * (codegen'd, no UDF). Extra physical columns (e.g. `bucket`) pass through. */
+  /** physical (non-logical-schema) columns carried through evolution */
+  val physicalCols: Seq[String] = Seq("bucket", "lastSeq", "deleted")
+
   def evolveProjection(fileSchema: SchemaDef, targetSchema: SchemaDef,
-                       passThrough: Seq[String] = Seq("bucket")): Seq[Column] = {
+                       passThrough: Seq[String] = physicalCols): Seq[Column] = {
     val old = fileSchema.byColId
     targetSchema.columns.map { tc =>
       old.get(tc.colId) match {
@@ -88,7 +91,7 @@ object SchemaRegistry {
   }
 
   def evolve(df: DataFrame, fromId: Int, toId: Int,
-             passThrough: Seq[String] = Seq("bucket")): DataFrame =
+             passThrough: Seq[String] = physicalCols): DataFrame =
     if (fromId == toId) df
     else df.select(evolveProjection(schemaFor(fromId), schemaFor(toId),
       passThrough.filter(df.columns.contains)): _*)

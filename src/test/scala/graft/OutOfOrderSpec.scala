@@ -1,0 +1,92 @@
+package graft
+
+import graft.driver.ReplayJob
+import graft.log.{ChangeLogGen, LogSpec, OracleFold}
+import graft.merge.{Intervals, MergeEngine}
+import graft.model.ChangeEvent
+import graft.table.IceTable
+
+/** Order-independence: micro-batches may arrive in ANY order (the file
+  * stream gives no global order guarantee). The offset-interval fence plus
+  * the seq-aware LWW merge with tombstones must converge to the oracle
+  * state regardless of delivery order. */
+class OutOfOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  val spec = LogSpec(seed = 23L, nEvents = 6000, nRepos = 8,
+    nPathsPerRepo = 25, pDelete = 0.1)
+
+  private def shaState(t: IceTable): Map[(String, String), String] =
+    t.read(spark).select("repo", "path", "contentSha").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
+  private val oracle = OracleFold.fold(ChangeLogGen.generateLocal(spec))
+    .map { case (k, v) => k -> v.contentSha }
+
+  private def runOrder(order: Seq[Int]): IceTable = {
+    val t = IceTable.create(tmpDir("ooo"), numBuckets = 4)
+    val sp = spec
+    val cdf = ChangeLogGen.zipfCdf(sp.nRepos, sp.zipfExponent)
+    val per = sp.nEvents / 4
+    val ranges = (0 until 4).map(e =>
+      (e.toLong, e * per - 1, if (e == 3) sp.nEvents - 1 else (e + 1) * per - 1))
+    order.foreach { e =>
+      val (_, lo, hi) = ranges(e)
+      MergeEngine.applyEpoch(spark, t,
+        spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(sp, cdf, s)),
+        epochId = e, nLogPartitions = 4)
+    }
+    t
+  }
+
+  test("reversed and shuffled epoch orders converge to the oracle state") {
+    assert(shaState(runOrder(Seq(3, 2, 1, 0))) == oracle)
+    assert(shaState(runOrder(Seq(2, 0, 3, 1))) == oracle)
+  }
+
+  test("replaying every epoch after out-of-order ingest is fully fenced") {
+    val t = runOrder(Seq(1, 3, 0, 2))
+    val v = t.currentVersion()
+    val sp = spec
+    val cdf = ChangeLogGen.zipfCdf(sp.nRepos, sp.zipfExponent)
+    val per = sp.nEvents / 4
+    (0 until 4).foreach { e =>
+      val lo = e * per - 1
+      val hi = if (e == 3) sp.nEvents - 1 else (e + 1) * per - 1
+      val out = MergeEngine.applyEpoch(spark, t,
+        spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(sp, cdf, s)),
+        epochId = 10 + e, nLogPartitions = 4)
+      assert(out.skipped, s"epoch $e replay must be fenced")
+    }
+    assert(t.currentVersion() == v)
+    assert(shaState(t) == oracle)
+  }
+
+  test("late stale update cannot resurrect a deleted key (tombstone)") {
+    val t = IceTable.create(tmpDir("tomb"), numBuckets = 2)
+    def ev(op: String, seq: Long, c: String) =
+      ChangeEvent(op, seq, "r", "p", f"$seq%040d", "scala", c)
+    // delete at seq 10 arrives first (epoch A)
+    MergeEngine.applyEpoch(spark, t,
+      Seq(ev("i", 9, "v9"), ev("d", 10, "")).toDS(), 0, nLogPartitions = 2)
+    assert(shaState(t).isEmpty)
+    // stale update seq 5 arrives later (out-of-order epoch B)
+    val out = MergeEngine.applyEpoch(spark, t,
+      Seq(ev("u", 5, "v5")).toDS(), 1, nLogPartitions = 2)
+    assert(out.stats.staleDrops == 1)
+    assert(shaState(t).isEmpty, "tombstone must keep the key dead")
+    // a genuinely newer update resurrects it
+    MergeEngine.applyEpoch(spark, t,
+      Seq(ev("u", 20, "v20")).toDS(), 2, nLogPartitions = 2)
+    assert(shaState(t) == Map(("r", "p") -> OracleFold.sha256Hex("v20")))
+  }
+
+  test("interval algebra: normalize merges touching ranges") {
+    assert(Intervals.normalize(Seq((10L, 20L), (-1L, 10L))) == Seq((-1L, 20L)))
+    assert(Intervals.normalize(Seq((5L, 8L), (0L, 3L))) == Seq((0L, 3L), (5L, 8L)))
+    assert(Intervals.covers(Seq((0L, 3L), (5L, 8L)), 6L))
+    assert(!Intervals.covers(Seq((0L, 3L), (5L, 8L)), 4L))
+    assert(!Intervals.covers(Seq((0L, 3L)), 0L)) // open-low
+    assert(Intervals.covers(Seq((0L, 3L)), 3L))  // closed-high
+  }
+}

@@ -36,8 +36,9 @@ class ReplayEndToEndSpec extends SparkSpec {
     reports.foreach { r =>
       assert(r.stats.rowsExtracted ==
         r.stats.rowsApplied + r.stats.deletesApplied + r.stats.dedupDrops +
-          r.stats.rowsQuarantined,
+          r.stats.rowsQuarantined + r.stats.staleDrops,
         s"epoch ${r.epochId} counter mismatch: ${r.stats}")
+      assert(r.stats.staleDrops == 0, "ordered replay must see no stale drops")
     }
     val got = tableState(t)
     val want = oracleState

@@ -1,0 +1,85 @@
+package graft
+
+import graft.pipeline.{Fork, Transform}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("i", 1L, "r1", "a.scala", "{\"k\": 1}", "alpha beta gamma"),
+    ("u", 2L, "r1", "b.py", "{\"k\": 2}", "delta"),
+    ("d", 3L, "r2", "c.md", "{\"k\": 3}", "")
+  ).toDF("op", "seq", "repo", "path", "props", "text")
+
+  test("chain composes converters in order (MultiConverter analog)") {
+    val t = Transform.chain(
+      Transform.filterBy("repo", "r1"),
+      Transform.fieldRetriever("path", "file"),
+      Transform.dropFields("props"))
+    val out = t(df)
+    assert(out.columns.toSeq == Seq("op", "seq", "repo", "path", "text", "file"))
+    assert(out.count() == 2)
+  }
+
+  test("parseJson + flatten (JsonIntermediate converter analog)") {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val out = Transform.chain(
+      Transform.parseJson("props", schema, "p"),
+      Transform.flattenField("p.k"))(df)
+    assert(out.select("p_k").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("splitExplode is 1:N (StringSplitterConverter analog)") {
+    val out = Transform.splitExplode("text", " ", "word")(
+      df.filter($"repo" === "r1"))
+    assert(out.count() == 4) // 3 words + 1 word
+  }
+
+  test("deterministic sample survives replay identically") {
+    val big = spark.range(10000).select($"id".cast("string").as("k"))
+    val s1 = Transform.sample("k", 0.3)(big).as[String].collect().toSet
+    val s2 = Transform.sample("k", 0.3)(big).as[String].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size - 3000) < 300)
+  }
+
+  test("markDeletes rewrites op by predicate (ObjectStoreDelete analog)") {
+    val out = Transform.markDeletes($"path".endsWith(".md"))(df)
+    assert(out.filter($"op" === "d").count() == 1)
+  }
+
+  test("regexFilter and withCasts") {
+    val out = Transform.chain(
+      Transform.regexFilter("path", "\\.(scala|py)$"),
+      Transform.withCasts("seq" -> "int"))(df)
+    assert(out.count() == 2)
+    assert(out.schema("seq").dataType == IntegerType)
+  }
+
+  test("fork routes records to branches and counts per branch") {
+    var sunk = Map.empty[String, Long]
+    val counts = Fork(df, Seq(
+      Fork.Branch("code", $"path".rlike("\\.(scala|py)$"),
+        sink = d => sunk += ("code" -> d.count())),
+      Fork.Branch("docs", $"path".endsWith(".md"),
+        chain = Transform.dropFields("props"),
+        sink = d => sunk += ("docs" -> d.count())),
+      Fork.Branch("all", lit(true), sink = _ => ())))
+    assert(counts == Map("code" -> 2L, "docs" -> 1L, "all" -> 3L))
+    assert(sunk == Map("code" -> 2L, "docs" -> 1L))
+  }
+
+  test("envelope extraction decodes per schema id (CDC envelope analog)") {
+    val env = Seq((1, "{\"a\": 5}"), (2, "{\"a\": 6, \"b\": \"x\"}"))
+      .toDF("sid", "payload")
+    val schemas = Map(
+      1 -> StructType(Seq(StructField("a", IntegerType))),
+      2 -> StructType(Seq(StructField("a", IntegerType),
+        StructField("b", StringType))))
+    val out = Transform.extractEnvelope("payload", schemas, "sid",
+      Seq(1, 2))(env)
+    assert(out.select($"payload.a").as[Int].collect().sorted.toSeq == Seq(5, 6))
+  }
+}
