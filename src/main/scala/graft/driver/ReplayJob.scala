@@ -27,6 +27,22 @@ object ReplayJob {
   final case class EpochReport(epochId: Long, loSeq: Long, hiSeq: Long,
       skipped: Boolean, stats: EpochStats)
 
+  /** Admission-controlled epoch planning (the `maxOffsetsPerTrigger` /
+    * ThrottleWriter analog, SURVEY.md §4 rate limiting): slice the global
+    * `(loSeq, hiSeq]` range so no epoch admits more than
+    * `maxEventsPerEpoch` offsets. */
+  def planEpochs(loSeq: Long, hiSeq: Long,
+                 maxEventsPerEpoch: Long): Seq[(Long, Long, Long)] = {
+    require(maxEventsPerEpoch > 0)
+    val n = hiSeq - loSeq
+    val count = math.max(1L, (n + maxEventsPerEpoch - 1) / maxEventsPerEpoch)
+    (0L until count).map { e =>
+      val lo = loSeq + e * maxEventsPerEpoch
+      val hi = math.min(hiSeq, loSeq + (e + 1) * maxEventsPerEpoch)
+      (e, lo, hi)
+    }
+  }
+
   /** Replay `(fromSeq, toSeq]` of the log in `nEpochs` equal slices. */
   def run(
       spark: SparkSession,

@@ -143,25 +143,14 @@ object DocQueries {
     }),
 
     "d8_simhash" -> ((s, d) => {
-      // 64-bit SimHash: sign of per-bit vote sum over token hashes.
-      // Pure expression fold: acc is a 64-int vote vector, zip_with adds the
-      // ±1 votes of each token hash. Two-step select so the vote vector is
-      // materialized once, not duplicated 64× in the bit projection.
-      val toks = tokens(col("text"))
-      val votes = aggregate(
-        transform(toks, t => xxhash64(t)),
-        array_repeat(lit(0), 64),
-        (acc, h) => zip_with(acc,
-          array((0 until 64).map(i =>
-            when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
-          (a, b) => a + b))
+      // 64-bit SimHash via the native codegen Expression (graft.functions.
+      // SimHash64): tight per-token vote loop instead of a 64-way `when`
+      // array per token. Semantics cross-checked against the pure-Column
+      // formulation in SimHashSpec.
       documents(s, d)
-        .select(col("doc_id"), votes.as("votes"))
         .select(col("doc_id"),
-          (0 until 64).map(i =>
-            when(element_at(col("votes"), i + 1) > 0, lit(1L << i))
-              .otherwise(lit(0L)))
-            .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+          graft.functions.SimHash64.simhash64(tokens(col("text")))
+            .as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,87 @@
+package graft
+
+import graft.driver.ReplayJob
+import graft.sources.IncrementalFileSource
+import graft.sinks.Writers
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental file source: snapshot diff + ledger (FileBasedSource)") {
+    val data = tmpDir("incsrc-data")
+    val state = tmpDir("incsrc-state")
+    def addFile(name: String, rows: Int): Unit =
+      spark.range(rows).toDF("v").coalesce(1)
+        .write.parquet(s"$data/$name")
+    addFile("batch1", 100)
+    addFile("batch2", 200)
+
+    val src = new IncrementalFileSource(state)
+    val p1 = src.plan(data, nBins = 2)
+    assert(p1.files.nonEmpty)
+    val n1 = spark.read.parquet(p1.files.map(_.path): _*).count()
+    assert(n1 == 300)
+    src.markProcessed(p1.files)
+
+    // nothing new → empty plan (re-run safe)
+    assert(src.plan(data, 2).files.isEmpty)
+
+    // new files appear → only they are planned
+    addFile("batch3", 50)
+    val p2 = src.plan(data, 2)
+    assert(spark.read.parquet(p2.files.map(_.path): _*).count() == 50)
+    src.markProcessed(p2.files)
+    assert(src.plan(data, 2).files.isEmpty)
+  }
+
+  test("worst-fit-decreasing bin packing balances heterogeneous files") {
+    val src = new IncrementalFileSource(tmpDir("pack-state"))
+    val files = Seq(900L, 100L, 400L, 300L, 350L, 250L, 80L, 820L)
+      .zipWithIndex.map { case (sz, i) => src.FileEntry(s"f$i", sz) }
+    val bins = src.binPack(files, 4)
+    assert(bins.flatten.toSet == files.toSet, "every file placed once")
+    val weights = bins.map(_.map(_.size).sum)
+    assert(weights.max <= 2 * weights.min,
+      s"bins should be balanced, got $weights")
+  }
+
+  test("time-partitioned writer lays out yyyy/mm/dd dirs and round-trips") {
+    val out = tmpDir("tsink")
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    Writers.timePartitioned(events, "ts", out, granularity = "day",
+      coalescePartitions = Some(2))
+    val dirs = Files.list(Paths.get(out)).iterator()
+    assert(dirs.hasNext)
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.count())
+    assert(back.columns.contains("yyyy") && back.columns.contains("dd"))
+    // partition pruning: a yyyy/mm filter prunes directories
+    val pruned = back.filter(col("yyyy") === "2024" && col("mm") === "01")
+    assert(pruned.count() > 0)
+  }
+
+  test("byColumns writer partitions by arbitrary columns; json format works") {
+    val out = tmpDir("csink")
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    Writers.byColumns(events, out, Seq("event_type"), format = "json",
+      coalescePartitions = Some(1))
+    val back = spark.read.json(out)
+    assert(back.count() == events.count())
+  }
+
+  test("admission control slices epochs at the event cap") {
+    val plan = ReplayJob.planEpochs(-1L, 9999L, maxEventsPerEpoch = 3000)
+    assert(plan.size == 4)
+    assert(plan.forall { case (_, lo, hi) => hi - lo <= 3000 })
+    assert(plan.head._2 == -1L && plan.last._3 == 9999L)
+    // contiguous, non-overlapping
+    plan.sliding(2).foreach {
+      case Seq((_, _, h1), (_, l2, _)) => assert(h1 == l2)
+      case _ => ()
+    }
+  }
+}
