@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.CdcQueries.queries ++
       graft.queries.DocQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.OperatorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for engine-hash-specific ops
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.CdcQueries.oracles ++
       graft.queries.DocQueries.oracles ++
-      graft.queries.VectorQueries.oracles
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.OperatorQueries.oracles
 }

@@ -149,31 +149,38 @@ object MergeEngine {
       .collect())
     val freshCount = perGroup.map(_.getAs[Long]("nEv")).sum
 
-    // this epoch's claimed offset interval per partition: if the caller
-    // declared the slice's global range (batch replay knows it), EVERY
-    // partition claims it — including partitions with no events this epoch,
-    // which must still persist offsets (the reference's empty-WorkUnit rule,
+    // This epoch's claimed offset intervals, applied to EVERY partition —
+    // including partitions with no events this epoch, which must still
+    // persist offsets (the reference's empty-WorkUnit rule,
     // KafkaSource.java:404-411) so the purge horizon can advance and the
-    // manifest stays at one merged interval per partition. Otherwise
-    // (unknown provenance, e.g. a file-stream micro-batch) claim only the
-    // per-partition observed (minSeq-1, maxSeq] — conservative but safe
-    // under any delivery order.
-    val newIv: Map[Int, (Long, Long)] = claimedRange match {
-      case Some((lo, hi)) =>
-        (0 until nLogPartitions).map(p => p -> (lo, hi)).toMap
-      case None => perGroup
-        .groupBy(_.getAs[Int]("logPart"))
-        .map { case (p, rs) =>
-          p -> (rs.map(_.getAs[Long]("lo")).min - 1,
-            rs.map(_.getAs[Long]("hi")).max)
-        }
+    // manifest stays at one merged interval per partition.
+    //
+    //  - Declared (batch replay knows its slice): one interval (lo, hi].
+    //  - Segment (unknown batch provenance, e.g. a file-stream micro-batch):
+    //    one interval per input FILE, (fileMin-1, fileMax]. A log segment
+    //    file contains ALL events of its seq range (contiguity property of
+    //    binlog/Kafka-style segments, guaranteed by ChangeLogGen.writeLog's
+    //    repartitionByRange), so each file range is safe to claim — but the
+    //    GAP between two non-adjacent files in the same batch is NOT
+    //    claimed, which is exactly what makes out-of-order multi-file
+    //    batches safe (a min/max-of-batch claim would fence the gap's
+    //    events, silently dropping them when their file arrives later).
+    val claimedIvs: Seq[(Long, Long)] = claimedRange match {
+      case Some((lo, hi)) => Seq((lo, hi))
+      case None =>
+        fresh.groupBy(input_file_name().as("_f"))
+          .agg(min($"seq").as("lo"), max($"seq").as("hi"))
+          .collect()
+          .map(r => (r.getAs[Long]("lo") - 1, r.getAs[Long]("hi"))).toSeq
     }
     def mergedOffsets: Seq[OffsetRange] =
-      (committedIv.keySet ++ newIv.keySet).toSeq.sorted.flatMap { p =>
+      (0 until nLogPartitions).flatMap { p =>
         val ivs = Intervals.normalize(
-          committedIv.getOrElse(p, Nil) ++ newIv.get(p).toSeq)
+          committedIv.getOrElse(p, Nil) ++ claimedIvs)
         ivs.map { case (lo, hi) => OffsetRange(p, lo, hi) }
-      }
+      } ++ committedIv.keySet.filter(_ >= nLogPartitions).toSeq.sorted
+        .flatMap(p => committedIv(p).map { case (lo, hi) =>
+          OffsetRange(p, lo, hi) })
 
     if (freshCount == 0) {
       deduped.unpersist()

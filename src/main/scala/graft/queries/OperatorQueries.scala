@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.operators.{AsOfJoin, SaltedAggregation}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Custom-operator queries: as-of join (composed, no custom SparkPlan
+  * needed) and salted aggregation — both DuckDB-oracle-checked. */
+object OperatorQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q22_asof_join" -> ((s, d) => {
+      // for each order: the customer's latest event at or before order time
+      // (key = o_custkey % 150 ≙ user_id). Events deduped to unique
+      // (user, ts) first so tie-breaking is deterministic in both engines.
+      val uniqEvents = events(s, d)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("last_event_id"))
+      val left = orders(s, d)
+        .withColumn("ukey", col("o_custkey") % 150)
+      AsOfJoin.join(left, uniqEvents,
+        keyL = "ukey", keyR = "user_id",
+        tsL = "o_orderdate", tsR = "ts",
+        payload = Seq("last_event_id"))
+        .select(col("o_orderkey"), col("ukey"), col("last_event_id"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q23_salted_distinct" -> ((s, d) => {
+      // exact distinct-count per (hot) key via two-phase salting
+      SaltedAggregation.distinctCount(events(s, d), Seq("event_type"),
+        valueCol = "user_id", nSalts = 8, as = "n_users")
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_asof_join" ->
+      """WITH uniq AS (
+           SELECT user_id, ts, max(event_id) AS last_event_id
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT o_orderkey, o_custkey % 150 AS ukey, o_orderdate
+               FROM orders)
+         SELECT o.o_orderkey, o.ukey, u.last_event_id
+         FROM o ASOF LEFT JOIN uniq u
+           ON o.ukey = u.user_id AND u.ts <= o.o_orderdate
+         ORDER BY o.o_orderkey""",
+    "q23_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}
