@@ -81,10 +81,11 @@ object DocQueries {
     "d5_jaccard_topk" -> ((s, d) => {
       // n-gram Jaccard near-dup: explode distinct 3-shingles, self-join on
       // the shingle key (shuffle join), aggregate intersections, top-20 pairs
+      // array_distinct already dedupes within a doc, so (doc_id, sh) pairs
+      // are unique after explode — no extra distinct() shuffle needed.
       val sh = documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(shingles3(tokens(col("text"))))).as("sh"))
-        .distinct()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,69 @@
+package graft
+
+import graft.driver.ReplayJob
+import graft.log.LogSpec
+import graft.merge.Intervals
+import graft.model._
+import graft.table.IceTable
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class TableInvariantsSpec extends SparkSpec {
+
+  test("commit CAS rejects a concurrent second writer") {
+    val t = IceTable.create(tmpDir("cas"), numBuckets = 2)
+    ReplayJob.replayGenerated(spark, t,
+      LogSpec(nEvents = 500, nRepos = 4, nPathsPerRepo = 5), nEpochs = 1,
+      nLogPartitions = 2)
+    val m = t.currentManifest().get
+    // a writer that planned against an older parent must be rejected
+    val staleCommit = m.copy(version = m.version + 1,
+      parentVersion = m.parentVersion) // parent is v-1, current is v
+    intercept[IllegalArgumentException] { t.commit(staleCommit) }
+    // and a correct descendant commits fine
+    val ok = m.copy(version = m.version + 1, parentVersion = m.version)
+    t.commit(ok)
+    assert(t.currentVersion() == ok.version)
+  }
+
+  test("lineage rows exist per epoch and lag is non-negative") {
+    val state = tmpDir("lineage")
+    val t = IceTable.create(tmpDir("ltab"), numBuckets = 4)
+    ReplayJob.replayGenerated(spark, t,
+      LogSpec(nEvents = 4000, nRepos = 8, nPathsPerRepo = 10), nEpochs = 4,
+      nLogPartitions = 4, stateDir = Some(state))
+    (0 until 4).foreach { e =>
+      val rows = spark.read.parquet(s"$state/lineage/epoch=$e")
+      assert(rows.count() == 4, s"one lineage row per partition, epoch $e")
+      val lags = rows.select("watermarkLag").collect().map(_.getLong(0))
+      assert(lags.forall(_ >= 0))
+      val his = rows.select("srcHighSeq").collect().map(_.getLong(0))
+      assert(his.forall(_ <= e * 1000 + 999))
+    }
+  }
+
+  test("property: interval normalize is idempotent and order-insensitive") {
+    val ivGen = Gen.listOfN(8, for {
+      lo <- Gen.choose(-1L, 100L)
+      len <- Gen.choose(1L, 30L)
+    } yield (lo, lo + len))
+    val prop = Prop.forAll(ivGen, Gen.long) { (ivs, shufSeed) =>
+      val n1 = Intervals.normalize(ivs)
+      val r = new scala.util.Random(shufSeed)
+      val n2 = Intervals.normalize(r.shuffle(ivs))
+      val idem = Intervals.normalize(n1) == n1
+      val sameAnyOrder = n1 == n2
+      // coverage preserved: every point covered before is covered after
+      val pointsOk = (-1L to 131L).forall(p =>
+        Intervals.covers(ivs, p) == Intervals.covers(n1, p))
+      // disjoint + sorted output
+      val sortedDisjoint = n1.sliding(2).forall {
+        case Seq((_, h1), (l2, _)) => l2 > h1
+        case _ => true
+      }
+      idem && sameAnyOrder && pointsOk && sortedDisjoint
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
