@@ -103,14 +103,15 @@ object MergeEngine {
     val bad = withPart.filter(!RowPolicies.passAll())
       .withColumn("reason", RowPolicies.failReason())
 
+    // quarantine write + count in ONE pass (Observation rides the write
+    // job); a separate count() would re-scan the whole epoch input.
     val quarantined: Long = quarantineDir match {
       case Some(dir) =>
-        val out = s"$dir/epoch=$epochId"
-        val badP = bad.persist(StorageLevel.MEMORY_AND_DISK)
-        val n = badP.count()
-        if (n > 0) badP.drop("logPart").write.mode("overwrite").parquet(out)
-        badP.unpersist()
-        n
+        val qObs = Observation(s"quarantine-$epochId-${System.nanoTime()}")
+        bad.observe(qObs, count(lit(1)).as("n"))
+          .drop("logPart")
+          .write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
+        qObs.get("n").asInstanceOf[Long]
       case None => 0L
     }
 

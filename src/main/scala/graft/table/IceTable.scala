@@ -101,6 +101,41 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     case Some(m) => readFiles(spark, m.files, m.schemaId)
   }
 
+  /** Time travel: the user view AS OF an older snapshot version. Snapshot
+    * isolation falls out of immutability — a manifest's file list never
+    * changes, so concurrent readers of any version are unaffected by
+    * ongoing commits. */
+  def readAt(spark: SparkSession, version: Long): DataFrame = {
+    val m = readManifest(version)
+    readFiles(spark, m.files, m.schemaId)
+      .filter(!coalesce(col("deleted"), lit(false)))
+      .drop("bucket", "lastSeq", "deleted")
+  }
+
+  /** Retention (SURVEY.md §2.9 cleaner analog): expire snapshots older than
+    * the last `keepLast`, then delete data files referenced by NO retained
+    * snapshot. Readers of retained versions are unaffected (their manifests
+    * and files survive). Returns (#manifests, #dataFiles) removed. */
+  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1)
+    val cur = currentVersion()
+    if (cur < 0) return (0, 0)
+    val cutoff = cur - keepLast + 1
+    val expired = (0L until cutoff).filter(v =>
+      Files.exists(metaDir.resolve(f"snap-$v%08d.json")))
+    if (expired.isEmpty) return (0, 0)
+    val retainedFiles: Set[String] = (cutoff to cur)
+      .filter(v => Files.exists(metaDir.resolve(f"snap-$v%08d.json")))
+      .flatMap(v => readManifest(v).files.map(_.path)).toSet
+    val expiredFiles: Set[String] = expired
+      .flatMap(v => readManifest(v).files.map(_.path)).toSet
+    val removable = expiredFiles -- retainedFiles
+    removable.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expired.foreach(v =>
+      Files.deleteIfExists(metaDir.resolve(f"snap-$v%08d.json")))
+    (expired.size, removable.size)
+  }
+
   def readFiles(spark: SparkSession, files: Seq[DataFileEntry],
                 targetSchemaId: Int = SchemaRegistry.baseSchemaId): DataFrame =
     if (files.isEmpty)

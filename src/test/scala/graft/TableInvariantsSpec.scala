@@ -66,4 +66,33 @@ class TableInvariantsSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("time travel reads an older snapshot unchanged by later commits") {
+    val t = IceTable.create(tmpDir("tt"), numBuckets = 2)
+    val spec = LogSpec(nEvents = 2000, nRepos = 4, nPathsPerRepo = 8)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 4, nLogPartitions = 2)
+    val v1 = 1L
+    val stateAtV1 = t.readAt(spark, v1).count()
+    // more commits happened (v2, v3) — v1 must still read identically
+    assert(t.currentVersion() == 3L)
+    assert(t.readAt(spark, v1).count() == stateAtV1)
+    val curCount = t.read(spark).count()
+    assert(t.readAt(spark, 3L).count() == curCount)
+  }
+
+  test("expireSnapshots removes old manifests + unreferenced files only") {
+    val t = IceTable.create(tmpDir("exp"), numBuckets = 2)
+    val spec = LogSpec(nEvents = 2000, nRepos = 4, nPathsPerRepo = 8)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 4, nLogPartitions = 2)
+    val before = t.read(spark).collect().map(_.toString).sorted.toSeq
+    val (manifests, files) = t.expireSnapshots(keepLast = 2)
+    assert(manifests == 2, "v0 and v1 expire")
+    assert(files > 0, "superseded bucket files are deleted")
+    // current + previous still readable and identical
+    assert(t.read(spark).collect().map(_.toString).sorted.toSeq == before)
+    assert(t.readAt(spark, 2L).count() > 0)
+    intercept[Exception] { t.readAt(spark, 0L) } // expired
+    // idempotent
+    assert(t.expireSnapshots(keepLast = 2) == ((0, 0)))
+  }
 }
