@@ -266,8 +266,19 @@ object MergeEngine {
         sum(when($"_tag" === "stale", 1L).otherwise(0L)).as("stale"))
       .drop("_tag")
 
+    // adaptive hot-bucket salting: if one bucket holds a disproportionate
+    // share of this epoch's keys, split its write across multiple tasks.
+    val bucketWeights = perGroup.groupBy(_.getAs[Int]("bucket"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("nKeys")).sum }
+    val saltPerBucket =
+      if (bucketWeights.size <= 1) 1
+      else {
+        val mx = bucketWeights.max
+        val avg = bucketWeights.sum / bucketWeights.size
+        if (mx > 4 * avg) math.min(8, (mx / math.max(1L, avg)).toInt) else 1
+      }
     val newFiles = timed("merge+write")(
-      table.writeEpochFiles(merged, epochId, schemaIdNow))
+      table.writeEpochFiles(merged, epochId, schemaIdNow, saltPerBucket))
     deduped.unpersist()
 
     val metrics = obs.get

@@ -169,10 +169,20 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     * files for `epochId`; returns the manifest entries for the new files.
     * One shuffle keyed by bucket so each bucket lands in exactly one task →
     * one file per bucket (bounded small-file count, co-located future merges). */
+  /** Write rows as data files for `epochId`, one shuffle keyed by bucket.
+    * `saltPerBucket > 1` splits each bucket across that many writer tasks
+    * (the north-star "salted repartitioning before the merge-apply stage"):
+    * a Zipf-hot bucket then produces several files in parallel instead of
+    * one straggler task; readers are unaffected (manifests list all files). */
   def writeEpochFiles(df: DataFrame, epochId: Long,
-      schemaId: Int = SchemaRegistry.baseSchemaId): Seq[DataFileEntry] = {
+      schemaId: Int = SchemaRegistry.baseSchemaId,
+      saltPerBucket: Int = 1): Seq[DataFileEntry] = {
     val epochDir = dataDir.resolve(s"e$epochId")
-    df.repartition(numBuckets, col("bucket"))
+    val parted =
+      if (saltPerBucket <= 1) df.repartition(numBuckets, col("bucket"))
+      else df.repartition(numBuckets * saltPerBucket, col("bucket"),
+        pmod(xxhash64(col("path")), lit(saltPerBucket)))
+    parted
       .sortWithinPartitions("bucket", "repo", "path")
       .write.mode("overwrite")
       .partitionBy("bucket")
