@@ -114,4 +114,32 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(row.getAs[String]("language") == "scala")
     assert(row.isNullAt(row.fieldIndex("sizeBytes")))
   }
+
+  test("schema drift in a batch evolves the table before merge (injector analog)") {
+    import spark.implicits._
+    import graft.model.ChangeEvent
+    import graft.table.SchemaDrift
+    val t = IceTable.create(tmpDir("drift"), numBuckets = 2)
+    // base batch at schema 1
+    val b1 = Seq(ChangeEvent("i", 0, "r", "a", "c" * 40, "scala", "v0")).toDS()
+    ReplayJob.run(spark, t, _ => b1, Seq((0L, -1L, 0L)), nLogPartitions = 2)
+    assert(t.currentManifest().get.schemaId == 1)
+    // next batch carries schemaId=3 events → table steps 1→2→3 pre-merge
+    val b2 = Seq(ChangeEvent("u", 5, "r", "a", "d" * 40, "java", "v5")).toDS()
+      .withColumn("schemaId", org.apache.spark.sql.functions.lit(3))
+    val ended = SchemaDrift.sync(t, b2)
+    assert(ended == 3)
+    assert(t.currentManifest().get.schemaId == 3)
+    ReplayJob.run(spark, t, _ => b2.drop("schemaId").as[ChangeEvent],
+      Seq((1L, 0L, 5L)), nLogPartitions = 2)
+    val row = t.read(spark).head()
+    assert(row.getAs[String]("language") == "java") // renamed col, new data
+    // stale / absent / unknown drift cases
+    assert(SchemaDrift.sync(t, b1.toDF()) == 3)              // no schemaId col
+    assert(SchemaDrift.sync(t, b2) == 3)                     // at current
+    intercept[IllegalArgumentException] {
+      SchemaDrift.sync(t, b2.withColumn("schemaId",
+        org.apache.spark.sql.functions.lit(99)))
+    }
+  }
 }
