@@ -34,6 +34,36 @@ object OperatorQueries {
       SaltedAggregation.distinctCount(events(s, d), Seq("event_type"),
         valueCol = "user_id", nSalts = 8, as = "n_users")
         .orderBy("event_type")
+    }),
+
+    "q24_sketches" -> ((s, d) => {
+      // HLL + quantile sketches (approx results — engine-specific, so
+      // rows-only driver check; error bound vs exact is asserted in
+      // OperatorsSpec)
+      events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          round(element_at(
+            percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+              lit(1000)), 1), 2).as("p50_value"))
+        .orderBy("event_type")
+    }),
+
+    "q25_range_join" -> ((s, d) => {
+      // band join: same-user event pairs within 60 seconds — bucketed
+      // 3-bin expansion instead of a per-key cross product
+      val e = events(s, d)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").cast("long").as("tsec"))
+      graft.operators.RangeJoin.bandJoin(
+        e, e.select(col("user_id").as("r_user"), col("tsec").as("r_tsec"),
+          col("event_id").as("r_event_id")),
+        keyL = "user_id", keyR = "r_user",
+        tsL = "tsec", tsR = "r_tsec",
+        payload = Seq("r_event_id"), band = 60L)
+        .filter(col("event_id") < col("r_event_id"))
+        .select(col("event_id").as("a_id"), col("r_event_id").as("b_id"))
+        .distinct()
+        .orderBy("a_id", "b_id")
     })
   )
 
@@ -50,6 +80,13 @@ object OperatorQueries {
          ORDER BY o.o_orderkey""",
     "q23_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q25_range_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_id < b.event_id
+          AND abs(date_diff('second', a.ts, b.ts)) <= 60
+         ORDER BY a_id, b_id"""
   )
 }

@@ -45,4 +45,54 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == plain)
     assert(plain.values.forall(_ > 1900)) // sanity: genuinely hot keys
   }
+
+  test("band join matches the naive theta-join") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").cast("long").as("tsec"))
+    val got = graft.operators.RangeJoin.bandJoin(
+      e, e.select(col("user_id").as("ru"), col("tsec").as("rt"),
+        col("event_id").as("rid")),
+      "user_id", "ru", "tsec", "rt", Seq("rid"), band = 300L)
+      .filter(col("event_id") < col("rid"))
+      .select("event_id", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.tsec") - col("b.tsec")) <= 300)
+      .select(col("a.event_id"), col("b.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.nonEmpty, "fixture should produce in-band pairs")
+  }
+
+  test("connected components clusters near-dup pairs with min-id survivor") {
+    import spark.implicits._
+    // two chains + one triangle + isolated pair: {1,2,3}, {10,11}, {20,21,22}
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val cc = graft.operators.DedupClusters.withSurvivors(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(cc(1L) == ((1L, true)) && cc(2L) == ((1L, false)) &&
+      cc(3L) == ((1L, false)))
+    assert(cc(10L)._1 == 10L && cc(11L)._1 == 10L)
+    assert(Set(20L, 21L, 22L).forall(cc(_)._1 == 20L))
+    assert(cc.values.count(_._2) == 3, "one survivor per cluster")
+  }
+
+  test("approx sketches stay within tolerance of exact answers") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val approx = e.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, x) =>
+      val a = approx(k)
+      assert(math.abs(a - x).toDouble / x < 0.05, s"$k: approx=$a exact=$x")
+    }
+  }
 }
