@@ -235,6 +235,30 @@ object Relational {
         .orderBy("yr", "mo")
     }),
 
+    "q26_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS (finer than rollup/cube) via SQL surface
+      lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+           FROM v_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                   (l_returnflag, l_linestatus))
+           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
+    "q27_pivot" -> ((s, d) => {
+      // pivot: order counts per status column-per-priority
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy("o_orderpriority")
+    }),
+
     "q21_percentile" -> ((s, d) => {
       // exact median per group (sort-based aggregate)
       orders(s, d)
@@ -368,6 +392,19 @@ object Relational {
       """SELECT o_orderpriority,
          round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
          count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q26_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q27_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
          FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }
