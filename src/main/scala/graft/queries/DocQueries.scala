@@ -37,23 +37,31 @@ object DocQueries {
     }),
 
     "d2_token_stats" -> ((s, d) => {
-      documents(s, d).select(
-        col("doc_id"),
-        size(tokens(col("text"))).as("n_tokens"),
-        length(col("text")).as("n_chars_actual"),
-        size(array_distinct(tokens(col("text")))).as("n_unique_tokens"))
+      // tokens materialized once: an inlined split() re-executes the regex
+      // for every reference (see the 25x d5/d7 finding in git history)
+      documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars_actual"),
+          tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          col("n_chars_actual"),
+          size(array_distinct(col("toks"))).as("n_unique_tokens"))
+        .select("doc_id", "n_tokens", "n_chars_actual", "n_unique_tokens")
         .orderBy("doc_id")
     }),
 
     "d3_quality_score" -> ((s, d) => {
       // heuristic quality features: stopword ratio, mean token length,
       // non-alpha ratio — the length/punct/stopword scoring family
-      val toks = tokens(col("text"))
+      val toks = col("toks")
       val nTok = size(toks)
       val nStop = size(filter(toks, t =>
         t.isin("the", "a", "and", "of", "to", "in")))
       val alphaLen = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-      documents(s, d).select(
+      documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .select(
         col("doc_id"),
         round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
         round(alphaLen.cast("double") / length(col("text")), 4)
@@ -81,11 +89,16 @@ object DocQueries {
     "d5_jaccard_topk" -> ((s, d) => {
       // n-gram Jaccard near-dup: explode distinct 3-shingles, self-join on
       // the shingle key (shuffle join), aggregate intersections, top-20 pairs
-      // array_distinct already dedupes within a doc, so (doc_id, sh) pairs
-      // are unique after explode — no extra distinct() shuffle needed.
+      // (doc_id, sh) is already unique after array_distinct+explode; the
+      // distinct() is NOT for semantics — its aggregate exchange becomes a
+      // ReusedExchange feeding BOTH sides of the self-join, so the expensive
+      // tokenize+shingle+explode runs once instead of twice (measured 2×:
+      // 8.6s vs 16.6s at sf0.1).
       val sh = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(array_distinct(shingles3(tokens(col("text"))))).as("sh"))
+          explode(array_distinct(shingles3(col("toks")))).as("sh"))
+        .distinct()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -123,8 +136,9 @@ object DocQueries {
       // rows; candidate pairs share a band hash. No SQL oracle
       // (engine-specific xxhash64) → rows-only check.
       val sh = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(array_distinct(shingles3(tokens(col("text"))))).as("sh"))
+          explode(array_distinct(shingles3(col("toks")))).as("sh"))
       val minCols = (0 until 16).map(i =>
         min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
       val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
