@@ -56,11 +56,13 @@ object VectorQueries {
     }),
 
     "v2_norm_stats" -> ((s, d) => {
-      // per-label vector statistics (min/max are order-independent)
+      // per-label vector statistics (min/max are order-independent).
+      // qvec materialized once — an inlined transform() re-evaluates per
+      // reference (no CSE across lambda boundaries).
       embeddings(s, d)
+        .select(col("label"), qvec(col("embedding")).as("q"))
         .select(col("label"),
-          sqrt(idot(qvec(col("embedding")), qvec(col("embedding")))
-            .cast("double")).as("nrm"))
+          sqrt(idot(col("q"), col("q")).cast("double")).as("nrm"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
           round(min("nrm"), 4).as("min_norm"),
@@ -72,7 +74,7 @@ object VectorQueries {
       // random-hyperplane LSH: 8 sign bits from fixed pseudo-random planes
       // (deterministic: plane p component i = ((p*73 + i*37) % 19) - 9).
       // Bucket histogram — candidate generation becomes a bucket equijoin.
-      val q = qvec(col("embedding"))
+      val q = col("q") // materialized once below (8 bit-projections reuse it)
       val bits = (0 until 8).map { p =>
         val proj = aggregate(
           zip_with(q, sequence(lit(0), lit(63)),
@@ -81,6 +83,7 @@ object VectorQueries {
         when(proj > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
         .select(col("vec_id"), bits.as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
