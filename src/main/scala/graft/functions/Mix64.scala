@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/**
+ * splitmix64 finalizer as a native codegen Expression. Needed because the
+ * engine's deterministic generator requires WRAPPING 64-bit multiplication,
+ * which ANSI mode (Spark 4 default) rejects for the `*` operator; Java long
+ * arithmetic in generated code wraps naturally and stays inside
+ * whole-stage codegen.
+ */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Mix64.mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Mix64.mix($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_mix64"
+}
+
+object Mix64 {
+  /** public-domain splitmix64 mix */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def mix64(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      Mix64(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+}

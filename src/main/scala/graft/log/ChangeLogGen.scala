@@ -110,11 +110,75 @@ object ChangeLogGen {
   }
 
   /** Distributed generation: `spark.range` keeps it a pure narrow map — no
-    * shuffle, scales linearly with cores/executors. */
+    * shuffle, scales linearly with cores/executors. Uses the pure-Column
+    * formulation (no per-row JVM object churn); bit-identical to
+    * [[eventAt]] (asserted by GeneratorParitySpec). */
   def generate(spark: SparkSession, spec: LogSpec): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    generateExprDf(spark, spec).as[ChangeEvent]
+  }
+
+  /** Reference row-at-a-time generation (kept as the semantic oracle for
+    * the Column-expression path). */
+  def generateMapped(spark: SparkSession, spec: LogSpec): Dataset[ChangeEvent] = {
     import spark.implicits._
     val cdf = zipfCdf(spec.nRepos, spec.zipfExponent)
     spark.range(0, spec.nEvents).map(seq => eventAt(spec, cdf, seq))
+  }
+
+  /** Column-expression replica of [[eventAt]]: whole-stage-codegen'd, no
+    * Dataset.map encoder round-trip — the generated code builds UTF8Strings
+    * directly. Long arithmetic wraps like Java, so splitmix64 is exact. */
+  def generateExprDf(spark: SparkSession,
+                     spec: LogSpec): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val cdf = zipfCdf(spec.nRepos, spec.zipfExponent)
+
+    // wrapping 64-bit arithmetic needs the native expression under ANSI mode
+    def mixC(x0: Column): Column = graft.functions.Mix64.mix64(x0)
+    def unitC(h: Column): Column =
+      shiftrightunsigned(h, 11).cast("double") / lit((1L << 53).toDouble)
+    def hex16(c: Column): Column = lpad(lower(hex(c)), 16, "0")
+
+    val cdfArr = array(cdf.map(lit(_)): _*)
+    val words = array(wordList.map(lit(_)): _*)
+    val langs = array(lit("scala"), lit("java"), lit("py"), lit("md"))
+
+    spark.range(0, spec.nEvents)
+      .select(col("id").as("seq"))
+      .withColumn("h0", mixC(lit(spec.seed).bitwiseXOR(col("seq"))))
+      // binarySearch insertion point == count of cdf entries < u
+      .withColumn("repoIdx",
+        least(size(filter(cdfArr, c => c < unitC(col("h0")))),
+          lit(spec.nRepos - 1)))
+      .withColumn("h1", mixC(col("h0").bitwiseXOR(lit(0x51L))))
+      .withColumn("pathIdx",
+        (shiftrightunsigned(col("h1"), 17) % spec.nPathsPerRepo).cast("int"))
+      .withColumn("h2", mixC(col("h1").bitwiseXOR(lit(0x52L))))
+      .withColumn("isDel", unitC(col("h2")) < spec.pDelete)
+      .withColumn("op",
+        when(col("isDel"), "d")
+          .when(unitC(mixC(col("h2").bitwiseXOR(lit(0x53L)))) < 0.5, "i")
+          .otherwise("u"))
+      .withColumn("lang", element_at(langs, col("pathIdx") % 4 + 1))
+      .withColumn("repo", concat(lit("org"), (col("repoIdx") % 10),
+        lit("/repo-"), lpad(col("repoIdx").cast("string"), 4, "0")))
+      .withColumn("path", concat(lit("src/dir"), col("pathIdx") % 8,
+        lit("/File"), lpad(col("pathIdx").cast("string"), 4, "0"),
+        lit("."), col("lang")))
+      .withColumn("commit", concat(
+        hex16(mixC(col("h2").bitwiseXOR(lit(0x54L)))),
+        hex16(mixC(col("h2").bitwiseXOR(lit(0x55L)))),
+        lpad(lower(hex(mixC(col("h2").bitwiseXOR(lit(0x56L)))
+          .bitwiseAND(lit(0xffffffffL)))), 8, "0")))
+      .withColumn("content",
+        when(col("isDel"), "")
+          .otherwise(graft.functions.ContentGen.contentGen(
+            col("h2"), col("seq"), spec.contentWords,
+            wordList.toIndexedSeq)))
+      .select(col("op"), col("seq"), col("repo"), col("path"),
+        col("commit"), col("lang"), col("content"))
   }
 
   /** Pure-Scala generation for the in-memory oracle (small scales only). */
