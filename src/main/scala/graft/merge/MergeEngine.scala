@@ -32,10 +32,13 @@ import java.nio.file.{Files, Paths}
  *    job purges them once the log horizon passes (SURVEY.md §2.9).
  *
  * Scale notes (designed for 1000 executors / 100 TB):
- *  - Dedup is `groupBy(repo, path).agg(max_by(...))` — a hash aggregate with
- *    map-side partial combine, NOT a window sort. A hot key (many updates to
- *    one file in one epoch) collapses map-side before the shuffle, so Zipf
- *    skew on repos costs one combined row per task, not a skewed reducer.
+ *  - Dedup is two-phase argmax: a 24-byte-per-key envelope aggregate (the
+ *    payload columns are pruned out of the scan) plus a broadcast winner
+ *    join — no payload bytes ever shuffle. Falls back to a single-shuffle
+ *    max_by(struct) hash aggregate (map-side combined, NOT a window sort)
+ *    when the winner set is too large to broadcast. Either way a hot key
+ *    collapses map-side, so Zipf skew costs one combined row per task,
+ *    not a skewed reducer.
  *  - The MERGE join runs only over buckets the epoch touches (bucket pruning
  *    via the manifest file list); untouched buckets' files carry forward by
  *    reference — rewrite amplification is bounded by bucket width.
@@ -45,6 +48,11 @@ import java.nio.file.{Files, Paths}
 object MergeEngine {
 
   private val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+
+  /** winner sets up to this size dedup via broadcast argmax join; larger
+    * epochs fall back to the shuffle max_by aggregate */
+  private val maxBroadcastWinners: Long =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_BCAST_KEYS", "2000000").toLong
   private def timed[T](name: String)(f: => T): T =
     if (!timing) f else {
       val t0 = System.nanoTime()
@@ -126,29 +134,47 @@ object MergeEngine {
     val fresh = good.filter(fence)
 
     // --- 3. dedup: last-writer-wins by seq per key -----------------------
-    // max_by(struct, seq): hash aggregate w/ partial combine (skew-immune).
-    // Single shuffle over the epoch's events; per-key min/max seq aggregate
-    // up to exact per-partition offset intervals — no second input scan.
-    val deduped = fresh
+    // Two-phase argmax: phase A aggregates ONLY (key → max/min seq, count) —
+    // a 24-byte-per-key state, so the scan is column-pruned to the envelope
+    // (payload columns are never materialized; with a columnar/expression
+    // source the content bytes aren't even generated/decoded). Phase B
+    // broadcast-joins the winner (key, seq) set back onto the stream to pick
+    // the winning rows — no shuffle of payload bytes at all. Falls back to
+    // a single-shuffle max_by(struct) aggregate when the winner set is too
+    // large to broadcast (the state-heavy but still skew-immune plan).
+    val winners = fresh
       .groupBy($"repo", $"path")
-      .agg(
-        max_by(struct($"op", $"seq", $"commit", $"lang", $"content"), $"seq")
-          .as("e"),
+      .agg(max($"seq").as("seq"),
         count(lit(1)).as("nEvents"),
         min($"seq").as("minSeq"),
         first($"logPart").as("logPart"))
-      .select($"repo", $"path", $"e.op".as("op"), $"e.seq".as("seq"),
-        $"e.commit".as("commit"), $"e.lang".as("lang"),
-        $"e.content".as("content"), $"nEvents", $"minSeq", $"logPart")
       .withColumn("bucket", table.bucketCol($"repo", $"path"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // one small collect: counters, intervals, bucket pruning, all at once
-    val perGroup = timed("dedup+stats")(deduped.groupBy($"bucket", $"logPart")
+    val perGroup = timed("dedup+stats")(winners.groupBy($"bucket", $"logPart")
       .agg(count(lit(1)).as("nKeys"), sum($"nEvents").as("nEv"),
         min($"minSeq").as("lo"), max($"seq").as("hi"))
       .collect())
     val freshCount = perGroup.map(_.getAs[Long]("nEv")).sum
+    val upsertCountEarly = perGroup.map(_.getAs[Long]("nKeys")).sum
+
+    lazy val deduped: org.apache.spark.sql.DataFrame =
+      if (upsertCountEarly <= maxBroadcastWinners) {
+        // phase B: winner rows via broadcast semi-equijoin on (key, seq)
+        fresh.join(
+          broadcast(winners.select($"repo", $"path", $"seq", $"bucket")),
+          Seq("repo", "path", "seq"))
+      } else {
+        fresh
+          .groupBy($"repo", $"path")
+          .agg(max_by(struct($"op", $"seq", $"commit", $"lang", $"content"),
+            $"seq").as("e"))
+          .select($"repo", $"path", $"e.op".as("op"), $"e.seq".as("seq"),
+            $"e.commit".as("commit"), $"e.lang".as("lang"),
+            $"e.content".as("content"))
+          .withColumn("bucket", table.bucketCol($"repo", $"path"))
+      }
 
     // This epoch's claimed offset intervals, applied to EVERY partition —
     // including partitions with no events this epoch, which must still
@@ -184,7 +210,7 @@ object MergeEngine {
           OffsetRange(p, lo, hi) })
 
     if (freshCount == 0) {
-      deduped.unpersist()
+      winners.unpersist()
       val st = EpochStats(0, quarantined, 0, 0, 0, 0)
       val alreadyCovered = claimedRange.forall { case (lo, hi) =>
         (0 until nLogPartitions).forall(p =>
@@ -209,7 +235,7 @@ object MergeEngine {
       return EpochOutcome(m, skipped = true, st)
     }
 
-    val upsertCount = perGroup.map(_.getAs[Long]("nKeys")).sum
+    val upsertCount = upsertCountEarly
     val dedupDrops = freshCount - upsertCount
 
     // --- 4. seq-aware copy-on-write MERGE over affected buckets ----------
@@ -279,7 +305,7 @@ object MergeEngine {
       }
     val newFiles = timed("merge+write")(
       table.writeEpochFiles(merged, epochId, schemaIdNow, saltPerBucket))
-    deduped.unpersist()
+    winners.unpersist()
 
     val metrics = obs.get
     val applied = metrics("up").asInstanceOf[Long]
