@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_simhash64" -> (exprs => SimHash64(exprs.head)))
+    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_mix64" -> (exprs => Mix64(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
