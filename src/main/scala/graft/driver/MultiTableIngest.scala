@@ -1,0 +1,55 @@
+package graft.driver
+
+import graft.merge.MergeEngine
+import graft.model.ChangeEvent
+import graft.table.IceTable
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Multi-dataset ingest: one change stream fanning out into several target
+ * tables, each with its OWN manifests, offsets and commit lifecycle — the
+ * reference's per-dataset commit model (JobContext.commit groups task states
+ * by dataset URN → SafeDatasetCommit per dataset,
+ * gobblin-runtime/.../JobContext.java:448-518, SafeDatasetCommit.java:84-199)
+ * combined with the fork operator's branch routing (§2.3).
+ *
+ * Failure isolation matches the reference: a failing dataset (e.g. its
+ * task-level policy aborts) leaves that table uncommitted and replayable
+ * while the other datasets' commits stand (COMMIT_SUCCESSFUL_TASKS at the
+ * dataset granularity; within one dataset, all-or-nothing per epoch).
+ */
+object MultiTableIngest {
+
+  final case class DatasetRoute(
+      name: String,
+      predicate: org.apache.spark.sql.Column,
+      table: IceTable)
+
+  final case class DatasetOutcome(name: String,
+      outcome: Either[Throwable, MergeEngine.EpochOutcome])
+
+  /** Apply one epoch to every routed dataset. The batch is persisted once;
+    * each dataset filters its slice (fork semantics) and runs the full
+    * fence→dedup→merge→commit pipeline against its own table. */
+  def applyEpoch(
+      spark: SparkSession,
+      routes: Seq[DatasetRoute],
+      events: Dataset[ChangeEvent],
+      epochId: Long,
+      nLogPartitions: Int = 32,
+      claimedRange: Option[(Long, Long)] = None): Seq[DatasetOutcome] = {
+    import spark.implicits._
+    val cached = events.persist(StorageLevel.MEMORY_AND_DISK)
+    try routes.map { r =>
+      val slice = cached.filter(r.predicate).as[ChangeEvent]
+      val out =
+        try Right(MergeEngine.applyEpoch(spark, r.table, slice, epochId,
+          nLogPartitions, claimedRange = claimedRange))
+        catch { case e: Throwable => Left(e) }
+      DatasetOutcome(r.name, out)
+    }
+    finally { cached.unpersist(); () }
+  }
+}
