@@ -27,6 +27,42 @@ object ReplayJob {
   final case class EpochReport(epochId: Long, loSeq: Long, hiSeq: Long,
       skipped: Boolean, stats: EpochStats)
 
+  /** Offset bootstrap for a table with NO committed state — the reference's
+    * `bootstrap.with.offset` policy (KafkaSource.java:89-104):
+    *  - Earliest: start from the log's beginning (no-op; the default).
+    *  - Latest: skip history — commit a metadata-only snapshot claiming
+    *    everything up to `latestSeq`, so ingestion starts at the tail.
+    *  - Lookback(n): like Latest but leaves the last `n` offsets unclaimed,
+    *    so ingestion backfills a bounded window.
+    * No-op if the table already has committed offsets (bootstrap only ever
+    * applies to a fresh table, like the reference's previous-state check). */
+  sealed trait Bootstrap
+  case object Earliest extends Bootstrap
+  case object Latest extends Bootstrap
+  final case class Lookback(offsets: Long) extends Bootstrap
+
+  def bootstrap(table: IceTable, mode: Bootstrap, latestSeq: Long,
+                nLogPartitions: Int = 32): Unit = {
+    val cur = table.currentManifest()
+    if (cur.exists(_.offsets.nonEmpty)) return // already has state
+    val hi = mode match {
+      case Earliest => return
+      case Latest => latestSeq
+      case Lookback(n) => latestSeq - n
+    }
+    if (hi < 0) return
+    val offsets = (0 until nLogPartitions)
+      .map(p => graft.model.OffsetRange(p, -1L, hi))
+    val m = cur match {
+      case Some(pm) => pm.copy(version = pm.version + 1, epochId = -1L,
+        offsets = offsets, parentVersion = pm.version)
+      case None => graft.model.EpochManifest(0L, -1L,
+        graft.table.SchemaRegistry.baseSchemaId, Nil, offsets,
+        EpochStats(0, 0, 0, 0, 0, 0), -1L)
+    }
+    table.commit(m)
+  }
+
   /** Admission-controlled epoch planning (the `maxOffsetsPerTrigger` /
     * ThrottleWriter analog, SURVEY.md §4 rate limiting): slice the global
     * `(loSeq, hiSeq]` range so no epoch admits more than

@@ -116,4 +116,34 @@ class TableInvariantsSpec extends SparkSpec {
     assert(back.count() == 1000)
     assert(back.select("path").distinct().count() == 1000)
   }
+
+  test("offset bootstrap: latest skips history, lookback backfills a window") {
+    val spec2 = LogSpec(seed = 3L, nEvents = 1000, nRepos = 4,
+      nPathsPerRepo = 6, pDelete = 0.0)
+    // Latest: nothing before seq 1000 is ever ingested
+    val tLatest = IceTable.create(tmpDir("blat"), numBuckets = 2)
+    ReplayJob.bootstrap(tLatest, ReplayJob.Latest, latestSeq = 999,
+      nLogPartitions = 2)
+    val r = ReplayJob.replayGenerated(spark, tLatest, spec2, nEpochs = 2,
+      nLogPartitions = 2)
+    assert(r.forall(_.skipped), "all history must be fenced under Latest")
+    assert(tLatest.read(spark).count() == 0)
+
+    // Lookback(200): only the last 200 offsets ingest
+    val tLb = IceTable.create(tmpDir("blb"), numBuckets = 2)
+    ReplayJob.bootstrap(tLb, ReplayJob.Lookback(200), latestSeq = 999,
+      nLogPartitions = 2)
+    ReplayJob.replayGenerated(spark, tLb, spec2, nEpochs = 2,
+      nLogPartitions = 2)
+    val got = tLb.read(spark).count()
+    val oracleTail = graft.log.OracleFold.fold(
+      graft.log.ChangeLogGen.generateLocal(spec2).filter(_.seq > 799)).size
+    assert(got == oracleTail, s"lookback window rows: got $got want $oracleTail")
+
+    // bootstrap on a table WITH state is a no-op
+    val v = tLb.currentVersion()
+    ReplayJob.bootstrap(tLb, ReplayJob.Latest, latestSeq = 5000,
+      nLogPartitions = 2)
+    assert(tLb.currentVersion() == v)
+  }
 }
