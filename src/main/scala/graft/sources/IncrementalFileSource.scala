@@ -16,15 +16,18 @@ import scala.jdk.CollectionConverters._
  * §2.8). Each group becomes one `spark.read.parquet(groupFiles: _*)` unit,
  * so a heterogeneous file population still yields balanced tasks.
  */
-final class IncrementalFileSource(stateDir: String) {
-
-  private val ledgerPath: Path = Paths.get(stateDir, "processed_files.txt")
-  Files.createDirectories(Paths.get(stateDir))
-
+object IncrementalFileSource {
   final case class FileEntry(path: String, size: Long)
   final case class Plan(bins: Seq[Seq[FileEntry]]) {
     def files: Seq[FileEntry] = bins.flatten
   }
+}
+
+final class IncrementalFileSource(stateDir: String) {
+  import IncrementalFileSource.{FileEntry, Plan}
+
+  private val ledgerPath: Path = Paths.get(stateDir, "processed_files.txt")
+  Files.createDirectories(Paths.get(stateDir))
 
   def processed(): Set[String] =
     if (!Files.exists(ledgerPath)) Set.empty

@@ -39,7 +39,7 @@ class SourcesSinksSpec extends SparkSpec {
   test("worst-fit-decreasing bin packing balances heterogeneous files") {
     val src = new IncrementalFileSource(tmpDir("pack-state"))
     val files = Seq(900L, 100L, 400L, 300L, 350L, 250L, 80L, 820L)
-      .zipWithIndex.map { case (sz, i) => src.FileEntry(s"f$i", sz) }
+      .zipWithIndex.map { case (sz, i) => IncrementalFileSource.FileEntry(s"f$i", sz) }
     val bins = src.binPack(files, 4)
     assert(bins.flatten.toSet == files.toSet, "every file placed once")
     val weights = bins.map(_.map(_.size).sum)
