@@ -150,6 +150,7 @@ object MergeEngine {
         first($"logPart").as("logPart"))
       .withColumn("bucket", table.bucketCol($"repo", $"path"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try { // unpersist `winners` on every exit (skip, abort, commit)
 
     // one small collect: counters, intervals, bucket pruning, all at once
     val perGroup = timed("dedup+stats")(winners.groupBy($"bucket", $"logPart")
@@ -210,7 +211,6 @@ object MergeEngine {
           OffsetRange(p, lo, hi) })
 
     if (freshCount == 0) {
-      winners.unpersist()
       val st = EpochStats(0, quarantined, 0, 0, 0, 0)
       val alreadyCovered = claimedRange.forall { case (lo, hi) =>
         (0 until nLogPartitions).forall(p =>
@@ -305,7 +305,6 @@ object MergeEngine {
       }
     val newFiles = timed("merge+write")(
       table.writeEpochFiles(merged, epochId, schemaIdNow, saltPerBucket))
-    winners.unpersist()
 
     val metrics = obs.get
     val applied = metrics("up").asInstanceOf[Long]
@@ -335,6 +334,7 @@ object MergeEngine {
 
     timed("commit")(table.commit(manifest))
     EpochOutcome(manifest, skipped = false, stats)
+    } finally { winners.unpersist(); () }
   }
 
   /** Append per-partition lineage rows for a committed epoch. */
