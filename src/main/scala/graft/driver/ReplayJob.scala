@@ -110,16 +110,23 @@ object ReplayJob {
       nEpochs: Int,
       nLogPartitions: Int = 32,
       stateDir: Option[String] = None): Seq[EpochReport] = {
+    // Clamp every epoch's hi to the real top seq and drop empty slices: when
+    // nEpochs*per over-covers the span (per rounds up to 1 with more epochs
+    // than events), an unclamped middle epoch would claim — and permanently
+    // fence — seqs that were never observed (and the generator slice would
+    // even fabricate events past nEvents).
     val per = math.max(1L, spec.nEvents / nEpochs)
+    val top = spec.nEvents - 1
     val ranges = (0 until nEpochs).map { e =>
-      val lo = e * per - 1 // (lo, hi] with seq starting at 0
-      val hi = if (e == nEpochs - 1) spec.nEvents - 1 else (e + 1) * per - 1
+      val lo = math.min(e * per - 1, top) // (lo, hi] with seq starting at 0
+      val hi = if (e == nEpochs - 1) top else math.min((e + 1) * per - 1, top)
       (e.toLong, lo, hi)
-    }
+    }.filter { case (_, lo, hi) => lo < hi }
+    val byId = ranges.map(r => r._1 -> r).toMap
     import spark.implicits._
     val cdf = ChangeLogGen.zipfCdf(spec.nRepos, spec.zipfExponent)
     def slice(epochId: Long): Dataset[ChangeEvent] = {
-      val (_, lo, hi) = ranges(epochId.toInt)
+      val (_, lo, hi) = byId(epochId)
       spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(spec, cdf, s))
     }
     run(spark, table, slice, ranges, nLogPartitions, stateDir)
@@ -140,13 +147,17 @@ object ReplayJob {
     val (loAll, hiAll) = (bounds.getLong(0), bounds.getLong(1))
     val n = hiAll - loAll + 1
     val per = math.max(1L, n / nEpochs)
+    // clamp to hiAll + drop empty slices (see replayGenerated): an epoch must
+    // never claim a seq range beyond what the log actually contains.
     val ranges = (0 until nEpochs).map { e =>
-      val lo = loAll + e * per - 1
-      val hi = if (e == nEpochs - 1) hiAll else loAll + (e + 1) * per - 1
+      val lo = math.min(loAll + e * per - 1, hiAll)
+      val hi = if (e == nEpochs - 1) hiAll
+               else math.min(loAll + (e + 1) * per - 1, hiAll)
       (e.toLong, lo, hi)
-    }
+    }.filter { case (_, lo, hi) => lo < hi }
+    val byId = ranges.map(r => r._1 -> r).toMap
     def slice(epochId: Long): Dataset[ChangeEvent] = {
-      val (_, lo, hi) = ranges(epochId.toInt)
+      val (_, lo, hi) = byId(epochId)
       spark.read.parquet(logDir)
         .filter($"seq" > lo && $"seq" <= hi)
         .as[ChangeEvent]

@@ -26,14 +26,19 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Largest seq S such that every partition's committed intervals cover
-    * (-inf, S] contiguously from their lowest bound — tombstones at or
-    * below S are safe to purge. */
+    * (-inf, S] contiguously FROM THE LOG ORIGIN (lowSeq == -1, i.e. seq 0) —
+    * tombstones at or below S are safe to purge. A partition whose first
+    * committed interval does NOT start at the origin contributes
+    * Long.MinValue (no purge): files can arrive out of order, so a run
+    * anchored mid-log (e.g. (199,299]) says nothing about seqs 0..199 still
+    * outstanding — purging against its high could let a later-arriving older
+    * update resurrect a deleted key. */
   def safeHorizon(m: EpochManifest): Long = {
     val byPart = m.offsets.groupBy(_.partitionId)
     if (byPart.isEmpty) return Long.MinValue
     byPart.values.map { rs =>
       val ivs = Intervals.normalize(rs.map(r => (r.lowSeq, r.highSeq)))
-      ivs.headOption.map(_._2).getOrElse(Long.MinValue) // first contiguous run
+      ivs.headOption.collect { case (-1L, hi) => hi }.getOrElse(Long.MinValue)
     }.min
   }
 

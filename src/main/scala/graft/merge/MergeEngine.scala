@@ -6,7 +6,6 @@ import graft.table.{IceTable, SchemaRegistry}
 import org.apache.spark.sql.{Column, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import java.nio.file.{Files, Paths}
 
 /**
  * Epoch apply: quality-check → offset-interval fence → key dedup →
@@ -350,7 +349,6 @@ object MergeEngine {
         stats.rowsApplied, stats.dedupDrops,
         watermarkLag = globalHigh - hi)
     }
-    Files.createDirectories(Paths.get(stateDir))
     rows.toDS().coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/lineage/epoch=$epochId")
   }

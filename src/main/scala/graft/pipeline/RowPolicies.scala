@@ -27,10 +27,17 @@ object RowPolicies {
       col("op") === "d" || col("content").isNotNull)
   )
 
+  /** Conjunction of all policies, null-safe: a NULL predicate result (e.g. a
+    * null `op` making `op.isin(...)` three-valued-NULL) counts as FAIL, so
+    * the record lands in quarantine instead of silently vanishing from both
+    * the good and the bad branch (`!NULL` is NULL — such a row would match
+    * neither `filter(passAll)` nor `filter(!passAll)`). */
   def passAll(policies: Seq[Policy] = defaults): Column =
-    policies.map(_.pass).reduce(_ && _)
+    coalesce(policies.map(_.pass).reduce(_ && _), lit(false))
 
-  /** First failing policy name (for the quarantine `reason` column). */
+  /** First failing policy name (for the quarantine `reason` column);
+    * null-safe per policy (NULL predicate == that policy failed). */
   def failReason(policies: Seq[Policy] = defaults): Column =
-    policies.foldRight(lit("ok")) { (p, rest) => when(!p.pass, p.name).otherwise(rest) }
+    policies.foldRight(lit("ok")) { (p, rest) =>
+      when(!coalesce(p.pass, lit(false)), p.name).otherwise(rest) }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
 
 /**
  * Snapshot-diff incremental file source (SURVEY.md §2.1): the reference's
@@ -15,6 +16,9 @@ import scala.jdk.CollectionConverters._
  * (gobblin-modules/.../packer/KafkaSingleLevelWorkUnitPacker.java; SURVEY.md
  * §2.8). Each group becomes one `spark.read.parquet(groupFiles: _*)` unit,
  * so a heterogeneous file population still yields balanced tasks.
+ *
+ * All IO goes through Hadoop `FileSystem`, so both the watched directory and
+ * the ledger can live on any durable store (`hdfs://`, `s3a://`, ...).
  */
 object IncrementalFileSource {
   final case class FileEntry(path: String, size: Long)
@@ -26,21 +30,38 @@ object IncrementalFileSource {
 final class IncrementalFileSource(stateDir: String) {
   import IncrementalFileSource.{FileEntry, Plan}
 
-  private val ledgerPath: Path = Paths.get(stateDir, "processed_files.txt")
-  Files.createDirectories(Paths.get(stateDir))
+  private def hconf: Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+  private val stateRoot = new HPath(stateDir)
+  private def stateFs: FileSystem = stateRoot.getFileSystem(hconf)
+  private def ledgerPath = new HPath(stateRoot, "processed_files.txt")
+  stateFs.mkdirs(stateRoot)
 
-  def processed(): Set[String] =
-    if (!Files.exists(ledgerPath)) Set.empty
-    else Files.readAllLines(ledgerPath).asScala.filter(_.nonEmpty).toSet
+  def processed(): Set[String] = {
+    val f = stateFs
+    if (!f.exists(ledgerPath)) Set.empty
+    else {
+      val in = f.open(ledgerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
 
-  /** list current snapshot, subtract the ledger, pack into `nBins`. */
+  /** list current snapshot (recursive), subtract the ledger, pack into
+    * `nBins`. */
   def plan(dir: String, nBins: Int,
            pattern: String => Boolean = _.endsWith(".parquet")): Plan = {
     val done = processed()
-    val now = Files.walk(Paths.get(dir)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && pattern(p.toString))
-      .map(p => FileEntry(p.toString, Files.size(p)))
-      .filterNot(f => done.contains(f.path))
+    val root = new HPath(dir)
+    val f = root.getFileSystem(hconf)
+    val it = f.listFiles(root, true)
+    val now = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(s => s.isFile && pattern(s.getPath.toString))
+      .map(s => FileEntry(s.getPath.toString, s.getLen))
+      .filterNot(e => done.contains(e.path))
       .toSeq
     Plan(binPack(now, nBins))
   }
@@ -60,10 +81,18 @@ final class IncrementalFileSource(stateDir: String) {
 
   /** append pulled files to the ledger (atomic rename, re-run safe). */
   def markProcessed(files: Seq[FileEntry]): Unit = {
+    val f = stateFs
     val all = processed() ++ files.map(_.path)
-    val tmp = Paths.get(stateDir, ".processed_files.txt.tmp")
-    Files.write(tmp, all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, ledgerPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new HPath(stateRoot,
+      s".processed_files-${System.nanoTime()}.txt.tmp")
+    val out = f.create(tmp, false)
+    try out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // rename-with-replace: delete-then-rename is fine for the ledger (the
+    // worst case of a crash between the two is a re-pull, which the fence
+    // and LWW merge already make idempotent)
+    f.delete(ledgerPath, false)
+    if (!f.rename(tmp, ledgerPath))
+      throw new IllegalStateException(s"ledger publish failed: $ledgerPath")
   }
 }

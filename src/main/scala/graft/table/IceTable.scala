@@ -1,10 +1,10 @@
 package graft.table
 
 import graft.model._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /**
  * Minimal snapshot/manifest table layer ("IceTable") over Parquet.
@@ -15,13 +15,23 @@ import scala.jdk.CollectionConverters._
  * gobblin-iceberg/.../writer/IcebergMetadataWriter.java:834-905):
  *
  *  - A table is a directory; readable state is defined ONLY by the manifest
- *    the pointer file references. Data files not listed in the current
+ *    the current snapshot references. Data files not listed in the current
  *    manifest are invisible — so a crash after data-file write but before
  *    manifest commit leaves orphans that are simply ignored on replay.
- *  - Commit = write `snap-<version>.json` (tmp + rename), then atomically
- *    swing `_current` (tmp + ATOMIC_MOVE rename) — the same tmp+rename trick
- *    as the reference's FsStateStore.put
- *    (gobblin-metastore/.../FsStateStore.java:156-178).
+ *  - All metadata and data IO goes through Hadoop `FileSystem`, so the table
+ *    can live on any supported durable store (`file://`, `hdfs://`,
+ *    `s3a://`, custom schemes) — the same abstraction the reference's state
+ *    store and writers use (gobblin-metastore/.../FsStateStore.java:65;
+ *    gobblin-core/.../writer/FsDataWriter.java:58).
+ *  - Commit = write `snap-<version>.json` to a temp name, then RENAME
+ *    WITHOUT OVERWRITE to its final name. On HDFS-like stores that rename is
+ *    atomic and fails when the destination exists, so it doubles as the
+ *    compare-and-swap: of two racing writers committing the same version,
+ *    exactly one wins and the loser gets an error instead of clobbering
+ *    (the reference's FsStateStore.put tmp+rename pattern,
+ *    gobblin-metastore/.../FsStateStore.java:156-178, hardened to CAS).
+ *    The current version IS the largest committed snapshot file — no
+ *    mutable pointer file exists, so there is nothing to torn-write.
  *  - The manifest carries committed per-partition offset ranges — the replay
  *    fence that makes epoch application idempotent (the `mergeOffsets`
  *    pattern, IcebergMetadataWriter.java:385-435).
@@ -29,33 +39,56 @@ import scala.jdk.CollectionConverters._
  *    rewrites only the buckets an epoch touches; untouched buckets' files are
  *    carried forward by reference. At cluster scale the bucket count bounds
  *    both merge-join width and rewrite amplification.
+ *  - Data files are written to a STAGING dir and published into the data
+ *    layout by per-file rename (the reference's staging→output atomic
+ *    publish, gobblin-core/.../publisher/BaseDataPublisher.java semantics):
+ *    a crash mid-publish leaves unreferenced files only.
  *
  * Layout:
  * {{{
- *   <dir>/data/e<epochId>/bucket=<b>/part-*.parquet
+ *   <dir>/data/bucket=<b>/e<epochId>-part-*.parquet
+ *   <dir>/staging/e<epochId>-<nonce>/bucket=<b>/part-*.parquet  (transient)
  *   <dir>/meta/snap-<version>.json
- *   <dir>/meta/_current                 // contains the current version
  * }}}
  *
- * Single-writer (like a Gobblin job owning its dataset); commits CAS on the
- * parent version so a concurrent second writer fails instead of corrupting.
+ * The single-level `data/bucket=<b>/` partition layout keeps Spark's
+ * partition-column inference consistent for ANY subset of manifest files
+ * (files from different epochs share one directory structure), and gives
+ * partition pruning on `bucket` for free.
  */
 final class IceTable(val dir: String, val numBuckets: Int) {
-  private val metaDir: Path = Paths.get(dir, "meta")
-  private val dataDir: Path = Paths.get(dir, "data")
+  private val root = new HPath(dir)
+  private def metaDir = new HPath(root, "meta")
+  private def dataDir = new HPath(root, "data")
+  private def stagingDir = new HPath(root, "staging")
+
+  /** Hadoop conf: the active Spark session's (so `spark.hadoop.*` and
+    * runtime-registered filesystems apply), else vanilla. */
+  private def hconf: Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+  private def fs: FileSystem = root.getFileSystem(hconf)
 
   def init(): this.type = {
-    Files.createDirectories(metaDir)
-    Files.createDirectories(dataDir)
+    val f = fs
+    f.mkdirs(metaDir)
+    f.mkdirs(dataDir)
     this
   }
 
-  // ---- pointer / manifest IO -------------------------------------------
+  // ---- snapshot / manifest IO --------------------------------------------
 
+  private val SnapName = """snap-(\d{8})\.json""".r
+
+  /** Current version = largest committed snapshot file (rename-published, so
+    * a listed snap is always complete). -1 when the table is empty. */
   def currentVersion(): Long = {
-    val p = metaDir.resolve("_current")
-    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
-    else -1L
+    val f = fs
+    if (!f.exists(metaDir)) return -1L
+    f.listStatus(metaDir).iterator.map(_.getPath.getName).foldLeft(-1L) {
+      case (mx, SnapName(v)) => math.max(mx, v.toLong)
+      case (mx, _) => mx
+    }
   }
 
   def currentManifest(): Option[EpochManifest] = {
@@ -63,27 +96,44 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     if (v < 0) None else Some(readManifest(v))
   }
 
-  def readManifest(version: Long): EpochManifest =
-    ManifestJson.read(metaDir.resolve(f"snap-$version%08d.json"))
+  private def snapPath(version: Long): HPath =
+    new HPath(metaDir, f"snap-$version%08d.json")
 
-  /** Atomically commit `m` as the new current snapshot. CAS on parent. */
+  def readManifest(version: Long): EpochManifest = {
+    val in = fs.open(snapPath(version))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      ManifestJson.parse(new String(bytes.toByteArray, "UTF-8"))
+    } finally in.close()
+  }
+
+  /** Atomically commit `m` as the new current snapshot. The rename-without-
+    * overwrite of the snapshot file is the CAS: a racing writer that planned
+    * against the same parent fails here instead of clobbering. */
   def commit(m: EpochManifest): Unit = {
+    val f = fs
     val cur = currentVersion()
     require(m.parentVersion == cur,
       s"concurrent writer detected: parent=${m.parentVersion} current=$cur")
     require(m.version == cur + 1, s"version must be ${cur + 1}, got ${m.version}")
-    val snap = metaDir.resolve(f"snap-${m.version}%08d.json")
-    val snapTmp = metaDir.resolve(f".snap-${m.version}%08d.json.tmp")
-    Files.write(snapTmp, ManifestJson.write(m).getBytes("UTF-8"))
-    Files.move(snapTmp, snap, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    val ptrTmp = metaDir.resolve("._current.tmp")
-    Files.write(ptrTmp, m.version.toString.getBytes("UTF-8"))
-    Files.move(ptrTmp, metaDir.resolve("_current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new HPath(metaDir,
+      f".snap-${m.version}%08d-${System.nanoTime()}%d.json.tmp")
+    val out = f.create(tmp, false)
+    try out.write(ManifestJson.write(m).getBytes("UTF-8")) finally out.close()
+    val won =
+      try f.rename(tmp, snapPath(m.version))
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    if (!won) {
+      f.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"concurrent writer detected: snapshot ${m.version} already committed")
+    }
   }
 
-  // ---- reads ------------------------------------------------------------
+  // ---- reads --------------------------------------------------------------
 
   /** Current table state as the USER view: tombstones filtered, physical
     * columns (bucket, lastSeq, deleted) dropped, projected to the snapshot's
@@ -118,21 +168,20 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     * and files survive). Returns (#manifests, #dataFiles) removed. */
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1)
+    val f = fs
     val cur = currentVersion()
     if (cur < 0) return (0, 0)
     val cutoff = cur - keepLast + 1
-    val expired = (0L until cutoff).filter(v =>
-      Files.exists(metaDir.resolve(f"snap-$v%08d.json")))
+    val expired = (0L until cutoff).filter(v => f.exists(snapPath(v)))
     if (expired.isEmpty) return (0, 0)
     val retainedFiles: Set[String] = (cutoff to cur)
-      .filter(v => Files.exists(metaDir.resolve(f"snap-$v%08d.json")))
+      .filter(v => f.exists(snapPath(v)))
       .flatMap(v => readManifest(v).files.map(_.path)).toSet
     val expiredFiles: Set[String] = expired
       .flatMap(v => readManifest(v).files.map(_.path)).toSet
     val removable = expiredFiles -- retainedFiles
-    removable.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    expired.foreach(v =>
-      Files.deleteIfExists(metaDir.resolve(f"snap-$v%08d.json")))
+    removable.foreach(p => f.delete(new HPath(p), false))
+    expired.foreach(v => f.delete(snapPath(v), false))
     (expired.size, removable.size)
   }
 
@@ -142,11 +191,13 @@ final class IceTable(val dir: String, val numBuckets: Int) {
       SchemaRegistry.evolve(emptyDf(spark), SchemaRegistry.baseSchemaId,
         targetSchemaId)
     else {
-      // group files by written schema, evolve each group, union by name
-      files.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, fs) =>
+      // group files by written schema, evolve each group, union by name;
+      // basePath = the single data root, so the bucket=<b> partition column
+      // infers consistently for any file subset
+      files.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, fl) =>
         val df = spark.read
           .option("basePath", dataDir.toString)
-          .parquet(fs.map(_.path): _*)
+          .parquet(fl.map(_.path): _*)
         SchemaRegistry.evolve(df, sid, targetSchemaId)
       }.reduce(_.unionByName(_))
     }
@@ -159,52 +210,83 @@ final class IceTable(val dir: String, val numBuckets: Int) {
       .withColumn("deleted", lit(false))
   }
 
-  // ---- writes -----------------------------------------------------------
+  // ---- writes -------------------------------------------------------------
 
   def bucketCol(repo: org.apache.spark.sql.Column,
                 path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(repo, path), lit(numBuckets)).cast("int")
 
-  /** Write the given rows (must contain FileRow columns + `bucket`) as data
-    * files for `epochId`; returns the manifest entries for the new files.
-    * One shuffle keyed by bucket so each bucket lands in exactly one task →
-    * one file per bucket (bounded small-file count, co-located future merges). */
-  /** Write rows as data files for `epochId`, one shuffle keyed by bucket.
+  /** Write rows (FileRow columns + `bucket`) as data files for `epochId`:
+    * one shuffle keyed by bucket, into a STAGING dir, then publish each file
+    * into `data/bucket=<b>/e<epochId>-<name>` by rename (staging→output
+    * atomicity; a crash mid-publish leaves only unreferenced orphans).
     * `saltPerBucket > 1` splits each bucket across that many writer tasks
     * (the north-star "salted repartitioning before the merge-apply stage"):
     * a Zipf-hot bucket then produces several files in parallel instead of
-    * one straggler task; readers are unaffected (manifests list all files). */
+    * one straggler task; readers are unaffected (manifests list all files).
+    * `alignedByBucket = true` skips the repartition when the input plan is
+    * already hash-partitioned by `bucket` (bucket-aligned MERGE output). */
   def writeEpochFiles(df: DataFrame, epochId: Long,
       schemaId: Int = SchemaRegistry.baseSchemaId,
-      saltPerBucket: Int = 1): Seq[DataFileEntry] = {
-    val epochDir = dataDir.resolve(s"e$epochId")
+      saltPerBucket: Int = 1,
+      alignedByBucket: Boolean = false): Seq[DataFileEntry] = {
+    val f = fs
+    val staging = new HPath(stagingDir,
+      s"e$epochId-${System.nanoTime()}")
     val parted =
-      if (saltPerBucket <= 1) df.repartition(numBuckets, col("bucket"))
+      if (alignedByBucket && saltPerBucket <= 1) df
+      else if (saltPerBucket <= 1) df.repartition(numBuckets, col("bucket"))
       else df.repartition(numBuckets * saltPerBucket, col("bucket"),
         pmod(xxhash64(col("path")), lit(saltPerBucket)))
     parted
       .sortWithinPartitions("bucket", "repo", "path")
       .write.mode("overwrite")
       .partitionBy("bucket")
-      .parquet(epochDir.toString)
-    listEpochFiles(epochId, schemaId)
+      .parquet(staging.toString)
+    // publish: move every staged file under the flat data layout
+    val entries = f.listStatus(staging).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap { d =>
+        val bucket = d.getPath.getName.stripPrefix("bucket=").toInt
+        val destDir = new HPath(dataDir, s"bucket=$bucket")
+        f.mkdirs(destDir)
+        f.listStatus(d.getPath).iterator
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map { s =>
+            val dest = new HPath(destDir, s"e$epochId-${s.getPath.getName}")
+            if (!f.rename(s.getPath, dest))
+              throw new IllegalStateException(s"publish failed: $dest")
+            DataFileEntry(dest.toString, bucket, -1L, schemaId)
+          }
+      }.toSeq
+    f.delete(staging, true)
+    entries.sortBy(e => (e.bucket, e.path))
   }
 
+  /** All PUBLISHED data files of the given epoch (committed or orphaned). */
   def listEpochFiles(epochId: Long,
       schemaId: Int = SchemaRegistry.baseSchemaId): Seq[DataFileEntry] = {
-    val epochDir = dataDir.resolve(s"e$epochId")
-    if (!Files.exists(epochDir)) return Seq.empty
-    val files = Files.walk(epochDir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq
-    files.map { p =>
-      val bucket = p.getParent.getFileName.toString.stripPrefix("bucket=").toInt
-      DataFileEntry(p.toString, bucket, -1L, schemaId)
-    }.sortBy(f => (f.bucket, f.path))
+    val prefix = s"e$epochId-"
+    epochFileStatuses(prefix).map { case (bucket, s) =>
+      DataFileEntry(s.getPath.toString, bucket, -1L, schemaId)
+    }.sortBy(e => (e.bucket, e.path))
+  }
+
+  private def epochFileStatuses(prefix: String): Seq[(Int, FileStatus)] = {
+    val f = fs
+    if (!f.exists(dataDir)) return Seq.empty
+    f.listStatus(dataDir).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap { d =>
+        val bucket = d.getPath.getName.stripPrefix("bucket=").toInt
+        f.listStatus(d.getPath).iterator
+          .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+          .map(bucket -> _)
+      }.toSeq
   }
 
   /** Commit a schema evolution: new snapshot, same files, new schemaId —
-    * metadata-only, atomic with the pointer swing. */
+    * metadata-only, atomic with the snapshot publish. */
   def evolveSchema(toSchemaId: Int): EpochManifest = {
     val parent = currentManifest().getOrElse(
       EpochManifest(-1L, -1L, SchemaRegistry.baseSchemaId, Nil, Nil,
@@ -221,17 +303,19 @@ final class IceTable(val dir: String, val numBuckets: Int) {
   }
 
   /** Remove data files for a given epoch that were never committed (crash
-    * cleanup); safe because readers only see manifest-listed files. */
+    * cleanup); safe because readers only see manifest-listed files. Also
+    * clears any staging leftovers of that epoch. */
   def dropUncommittedEpochFiles(epochId: Long): Unit = {
+    val f = fs
     val committed: Set[String] = currentManifest()
       .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-    val epochDir = dataDir.resolve(s"e$epochId")
-    if (Files.exists(epochDir)) {
-      val all = Files.walk(epochDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-      if (!all.exists(p => committed.contains(p.toString)))
-        all.foreach(Files.deleteIfExists(_))
-    }
+    val published = epochFileStatuses(s"e$epochId-")
+    if (!published.exists { case (_, s) => committed.contains(s.getPath.toString) })
+      published.foreach { case (_, s) => f.delete(s.getPath, false) }
+    if (f.exists(stagingDir))
+      f.listStatus(stagingDir).iterator
+        .filter(_.getPath.getName.startsWith(s"e$epochId-"))
+        .foreach(s => f.delete(s.getPath, true))
   }
 }
 

@@ -46,4 +46,15 @@ class CompactionSpec extends SparkSpec {
     // partition 0 contiguous to 100; partition 1 contiguous only to 50
     assert(Compaction.safeHorizon(m) == 50L)
   }
+
+  test("safeHorizon stays MinValue when a partition is not anchored at origin") {
+    import graft.model.{EpochManifest, EpochStats, OffsetRange}
+    // out-of-order segment arrival: first committed run covers (199,299] but
+    // seqs 0..199 are still outstanding — NO purge may happen (a tombstone at
+    // seq 250 could otherwise be resurrected by a late update at seq 150).
+    val m = EpochManifest(0, 0, 1, Nil,
+      Seq(OffsetRange(0, -1, 100), OffsetRange(1, 199, 299)),
+      EpochStats(0, 0, 0, 0, 0, 0), -1)
+    assert(Compaction.safeHorizon(m) == Long.MinValue)
+  }
 }

@@ -21,7 +21,10 @@ class QuarantineSpec extends SparkSpec {
       ChangeEvent("u", 1001L, null, "p1", "c", "scala", "v"),   // null repo
       ChangeEvent("u", 1002L, "r0", "", "c", "scala", "v"),     // empty path
       ChangeEvent("u", -5L, "r0", "p1", "c", "scala", "v"),     // bad seq
-      ChangeEvent("u", 1004L, "r0", "p1", "c", "scala", null))  // null content
+      ChangeEvent("u", 1004L, "r0", "p1", "c", "scala", null),  // null content
+      // null op: the predicate is three-valued NULL — must still quarantine,
+      // never silently vanish from both branches (ADVICE r1 null-guard)
+      ChangeEvent(null, 1005L, "r0", "p1", "c", "scala", "v"))
     good ++ bad
   }
 
@@ -30,13 +33,13 @@ class QuarantineSpec extends SparkSpec {
     val qDir = tmpDir("quarantine")
     val out = MergeEngine.applyEpoch(spark, t, saltedLog.toDS(), epochId = 0,
       nLogPartitions = 4, quarantineDir = Some(qDir))
-    assert(out.stats.rowsQuarantined == 5)
-    assert(out.stats.rowsExtracted == 105)
+    assert(out.stats.rowsQuarantined == 6)
+    assert(out.stats.rowsExtracted == 106)
     assert(out.stats.rowsExtracted == out.stats.rowsQuarantined +
       out.stats.rowsApplied + out.stats.deletesApplied + out.stats.dedupDrops +
       out.stats.staleDrops)
     val q = spark.read.parquet(s"$qDir/epoch=0")
-    assert(q.count() == 5)
+    assert(q.count() == 6)
     val reasons = q.select("reason").as[String].collect().toSet
     assert(reasons == Set("op_known", "repo_nonnull", "path_nonnull",
       "seq_nonnegative", "content_present_unless_delete"))

@@ -103,6 +103,42 @@ class ReplayEndToEndSpec extends SparkSpec {
     assert(tableState(t) == before)
   }
 
+  test("over-provisioned epochs never claim unobserved seqs (clamp)") {
+    // more epochs than events: unclamped planning used to claim ranges past
+    // the log's top seq, permanently fencing events appended later.
+    val tiny = LogSpec(seed = 7L, nEvents = 6, nRepos = 2, nPathsPerRepo = 2,
+      pDelete = 0.0)
+    val logDir = tmpDir("clamplog")
+    ChangeLogGen.writeLog(spark, tiny, logDir, nFiles = 2)
+    val t = IceTable.create(tmpDir("clamptab"), numBuckets = 2)
+    ReplayJob.replayParquetLog(spark, t, logDir, nEpochs = 10,
+      nLogPartitions = 2)
+    val highNow = t.currentManifest().get.offsets.map(_.highSeq).max
+    assert(highNow == 5L, s"claimed high must be the real top seq, got $highNow")
+    // append to the log; the appended events must NOT be fenced
+    val grown = tiny.copy(nEvents = 12)
+    ChangeLogGen.writeLog(spark, grown, logDir, nFiles = 2)
+    ReplayJob.replayParquetLog(spark, t, logDir, nEpochs = 3,
+      nLogPartitions = 2)
+    val want = OracleFold.fold(ChangeLogGen.generateLocal(grown))
+      .map { case (k, v) => k -> v.contentSha }
+    val got = t.read(spark).select("repo", "path", "contentSha").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got == want, "appended events must be applied after re-replay")
+
+    // generator path: nEpochs > nEvents must neither fabricate events past
+    // nEvents nor claim their seqs
+    val t2 = IceTable.create(tmpDir("clampgen"), numBuckets = 2)
+    ReplayJob.replayGenerated(spark, t2, tiny, nEpochs = 10,
+      nLogPartitions = 2)
+    assert(t2.currentManifest().get.offsets.map(_.highSeq).max == 5L)
+    val got2 = t2.read(spark).select("repo", "path", "contentSha").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val want2 = OracleFold.fold(ChangeLogGen.generateLocal(tiny))
+      .map { case (k, v) => k -> v.contentSha }
+    assert(got2 == want2)
+  }
+
   test("skew: no reducer partition holds a disproportionate share") {
     // Zipf-hot repo must not translate into a hot merge partition: the merge
     // keys on (repo, path) buckets, so hot-repo events spread over its paths.
