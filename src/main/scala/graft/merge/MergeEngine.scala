@@ -48,10 +48,14 @@ object MergeEngine {
 
   private val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
 
-  /** winner sets up to this size dedup via broadcast argmax join; larger
-    * epochs fall back to the shuffle max_by aggregate */
-  private val maxBroadcastWinners: Long =
-    sys.env.getOrElse("SPARK_GRAFT_MAX_BCAST_KEYS", "2000000").toLong
+  /** winner sets up to this ESTIMATED SIZE (key bytes + per-row overhead)
+    * dedup via broadcast argmax join; larger epochs fall back to the shuffle
+    * max_by aggregate. Bytes-based, not row-count-based: 2M long-string keys
+    * would be a multi-hundred-MB broadcast (driver/executor OOM risk at 1000
+    * executors) while 2M short keys are fine — the decision must follow the
+    * actual payload. */
+  private val maxBroadcastBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_BCAST_BYTES", "67108864").toLong // 64 MB
   private def timed[T](name: String)(f: => T): T =
     if (!timing) f else {
       val t0 = System.nanoTime()
@@ -98,6 +102,17 @@ object MergeEngine {
         Seq(graft.pipeline.TaskPolicies.RowCountReconciliation()),
       claimedRange: Option[(Long, Long)] = None): EpochOutcome = {
     import spark.implicits._
+
+    // The merge join is co-partitioned on `bucket` ALONE (a function of the
+    // join key, same partition count both sides). Spark's default co-
+    // partition check demands ALL join keys in the partitioning, which would
+    // stack a second (repo,path)-keyed exchange on each side; relaxing it is
+    // safe — hash-partitioning on a subset of the join keys still co-locates
+    // equal keys — and is scoped to this epoch's plan construction.
+    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val coPartPrev = spark.conf.getOption(coPartKey)
+    spark.conf.set(coPartKey, "false")
+    try {
 
     val parent = table.currentManifest()
     val parentVersion = parent.map(_.version).getOrElse(-1L)
@@ -151,20 +166,39 @@ object MergeEngine {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try { // unpersist `winners` on every exit (skip, abort, commit)
 
-    // one small collect: counters, intervals, bucket pruning, all at once
+    // one small collect: counters, intervals, bucket pruning, broadcast
+    // sizing, all at once
     val perGroup = timed("dedup+stats")(winners.groupBy($"bucket", $"logPart")
       .agg(count(lit(1)).as("nKeys"), sum($"nEvents").as("nEv"),
-        min($"minSeq").as("lo"), max($"seq").as("hi"))
+        min($"minSeq").as("lo"), max($"seq").as("hi"),
+        sum(length($"repo") + length($"path")).as("keyBytes"))
       .collect())
     val freshCount = perGroup.map(_.getAs[Long]("nEv")).sum
     val upsertCountEarly = perGroup.map(_.getAs[Long]("nKeys")).sum
+    // estimated broadcast payload: key strings + ~48B row overhead
+    // (seq + bucket + object headers)
+    val winnerBytes = perGroup.map(_.getAs[Long]("keyBytes")).sum +
+      48L * upsertCountEarly
 
     lazy val deduped: org.apache.spark.sql.DataFrame =
-      if (upsertCountEarly <= maxBroadcastWinners) {
-        // phase B: winner rows via broadcast semi-equijoin on (key, seq)
+      if (winnerBytes <= maxBroadcastBytes) {
+        // phase B: winner rows via broadcast semi-equijoin on (key, seq),
+        // then ONE repartition by bucket (aligning with the merge join) and
+        // a windowed rank that removes exact intra-batch duplicates — two
+        // events with the SAME (key, seq), which at-least-once delivery can
+        // produce inside one micro-batch and the cross-epoch fence cannot
+        // see. The window's ClusteredDistribution(bucket,·) is satisfied by
+        // the hash(bucket) repartition and its sort IS the merge join's
+        // required sort order, so dedup costs no extra exchange or sort.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"bucket", $"repo", $"path")
+          .orderBy($"commit") // deterministic pick among exact duplicates
         fresh.join(
           broadcast(winners.select($"repo", $"path", $"seq", $"bucket")),
           Seq("repo", "path", "seq"))
+          .repartition(table.numBuckets, $"bucket")
+          .withColumn("_rn", row_number().over(w))
+          .filter($"_rn" === 1).drop("_rn")
       } else {
         fresh
           .groupBy($"repo", $"path")
@@ -174,6 +208,7 @@ object MergeEngine {
             $"e.commit".as("commit"), $"e.lang".as("lang"),
             $"e.content".as("content"))
           .withColumn("bucket", table.bucketCol($"repo", $"path"))
+          .repartition(table.numBuckets, $"bucket")
       }
 
     // This epoch's claimed offset intervals, applied to EVERY partition —
@@ -247,7 +282,15 @@ object MergeEngine {
     val (touchedFiles, keptFiles) =
       parentFiles.partition(f => affectedBuckets.contains(f.bucket))
 
+    // Bucket-aligned merge: BOTH sides are hash-partitioned by `bucket`
+    // (same partition count), so the full-outer join needs no further
+    // exchange — Catalyst's HashPartitioning(bucket) satisfies
+    // ClusteredDistribution(bucket, repo, path) on each side and the join is
+    // a local per-bucket sort-merge. The target side thus moves each touched
+    // bucket's rows ONCE per epoch (the bucket repartition) instead of
+    // re-shuffling on (repo, path) AND again on bucket for the write.
     val current = table.readFiles(spark, touchedFiles, schemaIdNow)
+      .repartition(table.numBuckets, col("bucket"))
 
     // LWW resolution per target-schema column, by stable colId. The update
     // wins only if strictly newer than the stored row's lastSeq; a winning
@@ -275,7 +318,6 @@ object MergeEngine {
           when(isDel, lit(null)).otherwise(col(s"c.${tc.name}")).as(tc.name)
       }
     } ++ Seq(
-      coalesce($"u.bucket", $"c.bucket").as("bucket"),
       when(uWins, $"u.seq").otherwise($"c.lastSeq").as("lastSeq"),
       when(isDel, lit(true)).when(uWins, lit(false))
         .otherwise(coalesce($"c.deleted", lit(false))).as("deleted"),
@@ -283,8 +325,12 @@ object MergeEngine {
         .when($"u.seq".isNotNull, "stale").otherwise("keep").as("_tag"))
 
     val obs = Observation(s"epoch-$epochId-${System.nanoTime()}")
-    val merged = c.join(u, Seq("repo", "path"), "full_outer")
-      .select(resolved: _*)
+    // join ON (bucket, repo, path): bucket equality is implied by key
+    // equality (both sides derive it from the key), and keeping it a join
+    // key (a) lets the aligned partitioning satisfy the join's distribution
+    // and (b) coalesces it in the using-join output for unmatched rows.
+    val merged = c.join(u, Seq("bucket", "repo", "path"), "full_outer")
+      .select((col("bucket") +: resolved): _*)
       .observe(obs,
         sum(when($"_tag" === "up", 1L).otherwise(0L)).as("up"),
         sum(when($"_tag" === "del", 1L).otherwise(0L)).as("del"),
@@ -302,8 +348,12 @@ object MergeEngine {
         val avg = bucketWeights.sum / bucketWeights.size
         if (mx > 4 * avg) math.min(8, (mx / math.max(1L, avg)).toInt) else 1
       }
+    // merged output is already distributed by bucket (the aligned join), so
+    // the write adds NO shuffle — unless hot-bucket salting kicked in, which
+    // trades one extra exchange for write parallelism on the skewed bucket.
     val newFiles = timed("merge+write")(
-      table.writeEpochFiles(merged, epochId, schemaIdNow, saltPerBucket))
+      table.writeEpochFiles(merged, epochId, schemaIdNow, saltPerBucket,
+        alignedByBucket = true))
 
     val metrics = obs.get
     val applied = metrics("up").asInstanceOf[Long]
@@ -334,6 +384,13 @@ object MergeEngine {
     timed("commit")(table.commit(manifest))
     EpochOutcome(manifest, skipped = false, stats)
     } finally { winners.unpersist(); () }
+
+    } finally {
+      coPartPrev match {
+        case Some(v) => spark.conf.set(coPartKey, v)
+        case None => spark.conf.unset(coPartKey)
+      }
+    }
   }
 
   /** Append per-partition lineage rows for a committed epoch. */

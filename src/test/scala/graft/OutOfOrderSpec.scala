@@ -81,6 +81,23 @@ class OutOfOrderSpec extends SparkSpec {
     assert(shaState(t) == Map(("r", "p") -> OracleFold.sha256Hex("v20")))
   }
 
+  test("exact intra-batch duplicates (at-least-once) merge to one row") {
+    // the same (key, seq) event TWICE in one micro-batch: the cross-epoch
+    // fence cannot see it; the winner join used to emit two rows and poison
+    // the epoch (RowCountReconciliation fail-stop on every retry).
+    val t = IceTable.create(tmpDir("dup"), numBuckets = 2)
+    def ev(seq: Long, p: String, c: String) =
+      ChangeEvent("u", seq, "r", p, f"$seq%040d", "scala", c)
+    val batch = Seq(ev(1, "p1", "v1"), ev(1, "p1", "v1"), // exact dup
+      ev(2, "p2", "v2"), ev(3, "p1", "v3"), ev(3, "p1", "v3")) // dup winner
+    val out = MergeEngine.applyEpoch(spark, t, batch.toDS(), 0,
+      nLogPartitions = 2)
+    assert(!out.skipped, "epoch with intra-batch dups must commit")
+    assert(out.stats.rowsApplied == 2)
+    assert(shaState(t) == Map(("r", "p1") -> OracleFold.sha256Hex("v3"),
+      ("r", "p2") -> OracleFold.sha256Hex("v2")))
+  }
+
   test("interval algebra: normalize merges touching ranges") {
     assert(Intervals.normalize(Seq((10L, 20L), (-1L, 10L))) == Seq((-1L, 20L)))
     assert(Intervals.normalize(Seq((5L, 8L), (0L, 3L))) == Seq((0L, 3L), (5L, 8L)))

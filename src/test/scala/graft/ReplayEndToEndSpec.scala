@@ -139,6 +139,52 @@ class ReplayEndToEndSpec extends SparkSpec {
     assert(got2 == want2)
   }
 
+  test("merge plan is bucket-aligned: one exchange per side, none after join") {
+    import scala.jdk.CollectionConverters._
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val t = IceTable.create(tmpDir("align"), numBuckets = 4)
+      ReplayJob.replayGenerated(spark, t, spec.copy(nEvents = 4000),
+        nEpochs = 2, nLogPartitions = 4)
+      // listener delivery is async; wait for the epoch-1 merge plan (both
+      // sides non-empty -> a real full-outer join over the aligned sides)
+      val deadline = System.currentTimeMillis() + 30000
+      def planOpt = captured.asScala.find(p =>
+        p.contains("FullOuter") && p.contains("FileScan"))
+      while (planOpt.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val plan = planOpt.getOrElse(
+        fail(s"no merge plan captured; got ${captured.size} plans"))
+      // count only the merge plan proper: the printed string also embeds the
+      // adaptive Initial Plan and the cached winners' InMemoryRelation
+      // subplan (whose own envelope-aggregation exchange is expected) —
+      // both appear strictly BELOW the two join-side exchanges.
+      val mergeSection = plan.linesIterator
+        .takeWhile(l => !l.contains("InMemoryRelation") &&
+          !l.contains("== Initial Plan =="))
+        .mkString("\n")
+      val nShuffles =
+        "Exchange hashpartitioning".r.findAllIn(mergeSection).length
+      assert(nShuffles == 2,
+        s"bucket-aligned merge must shuffle each side exactly once " +
+          s"(got $nShuffles):\n$plan")
+      // and both exchanges key on bucket ALONE, nothing re-shuffles the join
+      // output or stacks a (repo,path) exchange on a side
+      assert("Exchange hashpartitioning\\(bucket#\\d+, \\d+\\)".r
+        .findAllIn(mergeSection).length == 2,
+        s"both exchanges must partition by bucket only:\n$plan")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("skew: no reducer partition holds a disproportionate share") {
     // Zipf-hot repo must not translate into a hot merge partition: the merge
     // keys on (repo, path) buckets, so hot-repo events spread over its paths.
