@@ -23,9 +23,10 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.OperatorQueries.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for engine-hash-specific ops
-    * (d7_minhash_bands, d8_simhash, v3_lsh_buckets) → rows-only check. */
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables — plus, for engine-hash-specific ops (d7, d8), on
+    * Spark-exported hash intermediates (two-step oracle, see OracleAux).
+    * Only q24_sketches (HLL internals) remains a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.CdcQueries.oracles ++

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -25,6 +26,21 @@ object DocQueries {
         i => concat_ws(" ", element_at(toks, i + 1),
           element_at(toks, i + 2), element_at(toks, i + 3))))
       .otherwise(array().cast("array<string>"))
+
+  /** Document-frequency cap for near-dup self-joins (d5/d7): a key (shingle
+    * or LSH band-bucket) present in k documents contributes k² join rows, so
+    * a single degenerate key — a stop-phrase shingle, an all-identical
+    * boilerplate bucket — turns the join quadratic at scale. Keys with
+    * df > maxDf carry ~no near-dup signal (standard near-dup practice) and
+    * are dropped BEFORE the join. The window count piggybacks on the join's
+    * own hash(key) exchange, so the cap costs no extra shuffle. */
+  val maxDf = 64
+
+  def capByFrequency(df: DataFrame, key: Seq[String]): DataFrame =
+    df.withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(key.map(col): _*)))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
 
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> ((s, d) => {
@@ -87,18 +103,22 @@ object DocQueries {
     }),
 
     "d5_jaccard_topk" -> ((s, d) => {
-      // n-gram Jaccard near-dup: explode distinct 3-shingles, self-join on
-      // the shingle key (shuffle join), aggregate intersections, top-20 pairs
+      // n-gram Jaccard near-dup: explode distinct 3-shingles, df-cap the
+      // shingles (no quadratic hot keys), self-join on the shingle key,
+      // aggregate intersections, top-20 pairs.
       // (doc_id, sh) is already unique after array_distinct+explode; the
       // distinct() is NOT for semantics — its aggregate exchange becomes a
       // ReusedExchange feeding BOTH sides of the self-join, so the expensive
       // tokenize+shingle+explode runs once instead of twice (measured 2×:
-      // 8.6s vs 16.6s at sf0.1).
-      val sh = documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          explode(array_distinct(shingles3(col("toks")))).as("sh"))
-        .distinct()
+      // 8.6s vs 16.6s at sf0.1). The df-cap window partitions by sh, which
+      // ALSO pre-clusters both join sides on the join key.
+      val sh = capByFrequency(
+        documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(array_distinct(shingles3(col("toks")))).as("sh"))
+          .distinct(),
+        Seq("sh"))
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -133,22 +153,27 @@ object DocQueries {
       // MinHash + LSH banding (scale path for near-dup): k=16 min-hashes
       // computed as 16 `min` aggregates over exploded shingles (ONE hash-agg
       // pass with map-side combine — the 100 TB shape), then 4 bands × 4
-      // rows; candidate pairs share a band hash. No SQL oracle
-      // (engine-specific xxhash64) → rows-only check.
+      // rows; candidate pairs share a band key (the 4 minhash values
+      // joined verbatim). Degenerate buckets (all-identical boilerplate)
+      // are df-capped before the pair join. Two-step oracle: the signature
+      // table exports to parquet and DuckDB re-derives banding + pairs.
       val sh = documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           explode(array_distinct(shingles3(col("toks")))).as("sh"))
       val minCols = (0 until 16).map(i =>
         min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val sig = OracleAux.export(
+        sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*), "d7_sig")
       val bandCols = (0 until 4).map(b =>
         struct(lit(b).as("band"),
-          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*)
+          concat_ws("_", (b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*)
             .as("bh")))
-      val banded = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      val banded = capByFrequency(
+        sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"),
+            col("e.bh").as("bh")),
+        Seq("band", "bh"))
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -161,7 +186,13 @@ object DocQueries {
       // 64-bit SimHash via the native codegen Expression (graft.functions.
       // SimHash64): tight per-token vote loop instead of a 64-way `when`
       // array per token. Semantics cross-checked against the pure-Column
-      // formulation in SimHashSpec.
+      // formulation in SimHashSpec. Two-step oracle: per-token xxhash64
+      // values export to parquet and DuckDB re-derives the 64 bit votes.
+      OracleAux.export(
+        documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), xxhash64(col("tok")).as("h")),
+        "d8_tokhash")
       documents(s, d)
         .select(col("doc_id"),
           graft.functions.SimHash64.simhash64(tokens(col("text")))
@@ -233,7 +264,7 @@ object DocQueries {
       """WITH tok AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
            FROM documents),
-         sh AS (
+         sh0 AS (
            SELECT DISTINCT doc_id,
                   unnest(list_filter(
                     list_transform(l, (x, i) -> CASE WHEN i + 2 <= len(l)
@@ -241,6 +272,10 @@ object DocQueries {
                            || ' ' || l[CAST(i+2 AS INT)] END),
                     y -> y IS NOT NULL)) AS sh
            FROM tok),
+         sh AS (
+           SELECT doc_id, sh FROM (
+             SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+             FROM sh0) WHERE df <= 64),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -266,6 +301,53 @@ object DocQueries {
                 octet_length(encode(text)) AS n_bytes,
                 md5(text) AS digest,
                 octet_length(encode(text)) % 10 AS fake_label
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // two-step oracle: consumes the Spark-exported minhash signature table
+    // and re-derives banding, the df cap, and the candidate pairs in SQL.
+    "d7_minhash_bands" ->
+      """WITH sig AS (
+           SELECT * FROM read_parquet('__AUX__/aux_d7_sig/*.parquet')),
+         banded0 AS (
+           SELECT doc_id, 0 AS band,
+                  h0 || '_' || h1 || '_' || h2 || '_' || h3 AS bh FROM sig
+           UNION ALL
+           SELECT doc_id, 1,
+                  h4 || '_' || h5 || '_' || h6 || '_' || h7 FROM sig
+           UNION ALL
+           SELECT doc_id, 2,
+                  h8 || '_' || h9 || '_' || h10 || '_' || h11 FROM sig
+           UNION ALL
+           SELECT doc_id, 3,
+                  h12 || '_' || h13 || '_' || h14 || '_' || h15 FROM sig),
+         banded AS (
+           SELECT doc_id, band, bh FROM (
+             SELECT doc_id, band, bh,
+                    count(*) OVER (PARTITION BY band, bh) AS df
+             FROM banded0) WHERE df <= 64)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    // two-step oracle: consumes the Spark-exported per-token xxhash64 values
+    // and re-derives the 64-bit vote fingerprint in SQL.
+    "d8_simhash" ->
+      """WITH th AS (
+           SELECT * FROM read_parquet('__AUX__/aux_d8_tokhash/*.parquet')),
+         votes AS (
+           SELECT doc_id, bit,
+                  sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM th
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) bits
+           GROUP BY doc_id, bit),
+         sim AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN v > 0 THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                         ELSE (CAST(1 AS BIGINT) << CAST(bit AS INT)) END
+                    ELSE 0 END) AS BIGINT) AS simhash
+           FROM votes GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+         FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id"""
   )
 }

@@ -31,6 +31,33 @@ object VectorQueries {
   def idot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** random-hyperplane LSH bucket from `nBits` sign bits of fixed pseudo-
+    * random integer planes starting at `planeOffset` (plane p component i =
+    * ((p*73 + i*37) % 19) - 9). Pure integer arithmetic over the quantized
+    * vector — deterministic and reproducible in any engine (this is what
+    * makes the LSH path value-oracle-checkable, unlike a hash-seeded
+    * projection). */
+  def lshBucket(q: Column, planeOffset: Int, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      val p = planeOffset + j
+      val proj = aggregate(
+        zip_with(q, sequence(lit(0), lit(63)),
+          (x, i) => x * (((lit(p) * 73 + i * 37) % 19) - 9)),
+        lit(0L), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** v3's 8-bit bucket (one table over planes 0..7) */
+  def lshBits(q: Column): Column = lshBucket(q, 0, 8)
+
+  /** v4 multi-table LSH layout: L tables × B sign bits. More tables raise
+    * recall, more bits per table shrink candidate sets (each table's bucket
+    * holds ~2^-B of the corpus). 4×4 measured on the synthetic embeddings:
+    * top-3 recall 0.40 at a 19% candidate fraction (near-random vectors are
+    * LSH's worst case; clustered real embeddings fare far better). */
+  val lshTables = 4
+  val lshBitsPerTable = 4
+
   val queries: Map[String, Q] = Map(
     "v1_knn_bruteforce" -> ((s, d) => {
       // top-5 cosine neighbors for query vectors (vec_id < 5)
@@ -71,22 +98,49 @@ object VectorQueries {
     }),
 
     "v3_lsh_buckets" -> ((s, d) => {
-      // random-hyperplane LSH: 8 sign bits from fixed pseudo-random planes
-      // (deterministic: plane p component i = ((p*73 + i*37) % 19) - 9).
-      // Bucket histogram — candidate generation becomes a bucket equijoin.
-      val q = col("q") // materialized once below (8 bit-projections reuse it)
-      val bits = (0 until 8).map { p =>
-        val proj = aggregate(
-          zip_with(q, sequence(lit(0), lit(63)),
-            (x, i) => x * (((lit(p) * 73 + i * 37) % 19) - 9)),
-          lit(0L), (acc, v) => acc + v)
-        when(proj > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
+      // LSH bucket histogram — the partitioning stats of the ANN scale path.
+      // q materialized once (8 bit-projections reuse it; no CSE across
+      // lambda boundaries).
       embeddings(s, d)
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
-        .select(col("vec_id"), bits.as("bucket"))
+        .select(col("vec_id"), lshBits(col("q")).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    }),
+
+    "v4_lsh_knn" -> ((s, d) => {
+      // ANN retrieval end-to-end (the 100 TB shape): candidate generation is
+      // a BUCKET EQUIJOIN per LSH table ((tbl, bucket) exploded — one
+      // shuffle-join instead of v1's cross product), candidates deduped
+      // across tables, exact re-rank with the quantized integer cosine of
+      // v1, top-3 per query. Recall vs brute force measured in OperatorsSpec.
+      val e = embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"), idot(col("q"), col("q")).as("nrm"),
+          array((0 until lshTables).map(t =>
+            lshBucket(col("q"), t * lshBitsPerTable, lshBitsPerTable)): _*)
+            .as("buckets"))
+      val tabbed = e.select(col("vec_id"), col("q"), col("nrm"),
+        posexplode(col("buckets")))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
+      val queriesDf = tabbed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nrm").as("qn"), col("tbl").as("qtbl"), col("bkt").as("qbkt"))
+      val cands = tabbed.join(queriesDf,
+          col("tbl") === col("qtbl") && col("bkt") === col("qbkt") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(idot(col("q"), col("qq")).cast("double") /
+            sqrt(col("nrm").cast("double") * col("qn").cast("double")), 6)
+            .as("cosine"))
+        .dropDuplicates("query_id", "vec_id") // union across tables
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("cosine"), asc("vec_id"))
+      cands.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -132,6 +186,67 @@ object VectorQueries {
            FROM embeddings)
          SELECT label, count(*) AS n, round(min(nrm), 4) AS min_norm,
                 round(max(nrm), 4) AS max_norm
-         FROM q GROUP BY label ORDER BY label"""
+         FROM q GROUP BY label ORDER BY label""",
+    // the LSH planes are fixed integer arithmetic, so the bucket assignment
+    // is reproduced exactly in SQL (DuckDB lambda index i is 1-based)
+    "v3_lsh_buckets" ->
+      s"""WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+           FROM embeddings),
+         b AS (SELECT vec_id, ${bucketSql("qv", 0, 8)} AS bucket FROM q)
+         SELECT bucket, count(*) AS n FROM b
+         GROUP BY bucket ORDER BY bucket""",
+    "v4_lsh_knn" ->
+      s"""WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, qv,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nrm
+           FROM q),
+         tb AS (${(0 until lshTables).map(t =>
+        s"""SELECT vec_id, $t AS tbl,
+              ${bucketSql("qv", t * lshBitsPerTable, lshBitsPerTable)} AS bkt
+            FROM q""").mkString("\n           UNION ALL\n           ")}),
+         cand AS (
+           SELECT DISTINCT qt.vec_id AS query_id, tb.vec_id
+           FROM tb JOIN tb qt ON tb.tbl = qt.tbl AND tb.bkt = qt.bkt
+           WHERE qt.vec_id < 5 AND tb.vec_id <> qt.vec_id),
+         sim AS (
+           SELECT c.query_id, c.vec_id,
+                  round(
+                    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 65),
+                        i -> ev.qv[CAST(i AS INT)] * eq.qv[CAST(i AS INT)])),
+                      (a, b) -> a + b) AS DOUBLE)
+                    / sqrt(CAST(ev.nrm AS DOUBLE) * CAST(eq.nrm AS DOUBLE)),
+                    6) AS cosine
+           FROM cand c
+           JOIN e ev ON ev.vec_id = c.vec_id
+           JOIN e eq ON eq.vec_id = c.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rnk
+           FROM sim)
+         SELECT query_id, rnk, vec_id AS neighbor_id, cosine
+         FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk"""
   )
+
+  /** DuckDB expression for an `nBits`-bit LSH sign bucket of quantized
+    * vector column `v`, planes starting at `planeOffset` — mirrors
+    * [[lshBucket]] exactly (DuckDB lambda index i is 1-based). */
+  private def bucketSql(v: String, planeOffset: Int, nBits: Int): String =
+    (0 until nBits).map { j =>
+      val p = planeOffset + j
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform($v,
+             (x, i) -> x * ((($p * 73 + (i - 1) * 37) % 19) - 9))),
+           (a, b) -> a + b) > 0 THEN ${1 << j} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
 }

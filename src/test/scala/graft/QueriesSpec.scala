@@ -21,8 +21,7 @@ class QueriesSpec extends SparkSpec {
 
   test("every query has either an oracle or a documented rows-only check") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("d7_minhash_bands", "d8_simhash", "v3_lsh_buckets",
-      "q24_sketches"),
+    assert(noOracle == Set("q24_sketches"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
