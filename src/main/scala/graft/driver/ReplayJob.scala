@@ -53,14 +53,69 @@ object ReplayJob {
     if (hi < 0) return
     val offsets = (0 until nLogPartitions)
       .map(p => graft.model.OffsetRange(p, -1L, hi))
+    // skipped history counts as complete: the table's contract says those
+    // offsets are fenced and will never arrive
     val m = cur match {
       case Some(pm) => pm.copy(version = pm.version + 1, epochId = -1L,
-        offsets = offsets, parentVersion = pm.version)
+        offsets = offsets, parentVersion = pm.version, completeUntilSeq = hi)
       case None => graft.model.EpochManifest(0L, -1L,
         graft.table.SchemaRegistry.baseSchemaId, Nil, offsets,
-        EpochStats(0, 0, 0, 0, 0, 0), -1L)
+        EpochStats(0, 0, 0, 0, 0, 0), -1L, completeUntilSeq = hi)
     }
     table.commit(m)
+  }
+
+  /** Recovery when committed offsets fall off the retained log — the
+    * reference's `reset.on.offset.out.of.range` {earliest, latest, nearest}
+    * (gobblin-modules/gobblin-kafka-common/.../KafkaSource.java:103,485-610).
+    * A partition is out of range when its committed high watermark lies
+    * below the log's retained head (events in between were purged before
+    * ingestion and can never arrive):
+    *  - Earliest: resume from the retained head — claim ONLY the purged gap
+    *    `(committedHigh, logEarliest-1]` so the retained backlog re-ingests
+    *    (LWW merge makes any re-pull idempotent) and the completeness /
+    *    purge horizon can advance past the hole.
+    *  - Latest: skip to the tail — claim `(committedHigh, logLatest]`.
+    *  - Nearest: snap to the nearest valid offset — below range that is the
+    *    retained head (== Earliest here; a high watermark beyond the tail is
+    *    already valid, nothing to do).
+    * Claims commit as one metadata-only snapshot; returns true if any
+    * partition was reset. */
+  sealed trait ResetPolicy
+  case object ResetEarliest extends ResetPolicy
+  case object ResetLatest extends ResetPolicy
+  case object ResetNearest extends ResetPolicy
+
+  def resetOutOfRange(table: IceTable, policy: ResetPolicy,
+                      logEarliest: Long, logLatest: Long,
+                      nLogPartitions: Int = 32): Boolean = {
+    val cur = table.currentManifest().getOrElse(return false)
+    val committed = MergeEngine.committedIntervals(Some(cur))
+    val claims: Seq[graft.model.OffsetRange] =
+      (0 until nLogPartitions).flatMap { p =>
+        val hiCommitted = graft.merge.Intervals.maxHigh(
+          committed.getOrElse(p, Nil))
+        val base = if (hiCommitted == Long.MinValue) -1L else hiCommitted
+        if (base + 1 >= logEarliest) Nil // in range: nothing purged unseen
+        else policy match {
+          case ResetEarliest | ResetNearest =>
+            Seq(graft.model.OffsetRange(p, base, logEarliest - 1))
+          case ResetLatest =>
+            Seq(graft.model.OffsetRange(p, base, logLatest))
+        }
+      }
+    if (claims.isEmpty) return false
+    val merged = (0 until nLogPartitions).flatMap { p =>
+      graft.merge.Intervals.normalize(
+        (committed.getOrElse(p, Nil) ++
+          claims.filter(_.partitionId == p).map(r => (r.lowSeq, r.highSeq))))
+        .map { case (lo, hi) => graft.model.OffsetRange(p, lo, hi) }
+    }
+    table.commit(cur.copy(version = cur.version + 1, epochId = -3L,
+      offsets = merged, parentVersion = cur.version,
+      completeUntilSeq = math.max(cur.completeUntilSeq,
+        graft.merge.Intervals.contiguousOriginPrefix(merged))))
+    true
   }
 
   /** Admission-controlled epoch planning (the `maxOffsetsPerTrigger` /
@@ -79,26 +134,59 @@ object ReplayJob {
     }
   }
 
-  /** Replay `(fromSeq, toSeq]` of the log in `nEpochs` equal slices. */
+  /** Replay `(fromSeq, toSeq]` of the log in `nEpochs` equal slices.
+    * Per committed epoch: lineage rows + an operations metrics row (events/
+    * sec, quarantine rate, watermark lag — the KafkaExtractorStatsTracker
+    * counter export, SURVEY.md §2.7) land under `stateDir`; when `viewName`
+    * is set the new snapshot re-registers as a Spark SQL view on every
+    * commit (HiveRegistrationPublisher analog, SURVEY.md §2.6). */
   def run(
       spark: SparkSession,
       table: IceTable,
       events: Long => Dataset[ChangeEvent],  // epoch slice loader: (epochId)
       epochRanges: Seq[(Long, Long, Long)],  // (epochId, loSeq, hiSeq]
       nLogPartitions: Int = 32,
-      stateDir: Option[String] = None): Seq[EpochReport] = {
+      stateDir: Option[String] = None,
+      viewName: Option[String] = None): Seq[EpochReport] = {
     epochRanges.map { case (epochId, lo, hi) =>
       val prev = MergeEngine.committedHighs(table.currentManifest())
+      val t0 = System.nanoTime()
       val out = MergeEngine.applyEpoch(spark, table, events(epochId), epochId,
         nLogPartitions, stateDir.map(d => s"$d/quarantine"),
         claimedRange = Some((lo, hi)))
+      val secs = (System.nanoTime() - t0) / 1e9
       stateDir.foreach { d =>
-        if (!out.skipped)
+        if (!out.skipped) {
           MergeEngine.writeLineage(spark, d, epochId, prev,
             out.manifest.offsets, out.stats)
+          writeMetrics(spark, d, epochId, secs, out)
+        }
       }
+      viewName.foreach(n => if (!out.skipped) table.registerView(spark, n))
       EpochReport(epochId, lo, hi, out.skipped, out.stats)
     }
+  }
+
+  /** one operations metrics row per committed epoch */
+  private def writeMetrics(spark: SparkSession, stateDir: String,
+                           epochId: Long, secs: Double,
+                           out: MergeEngine.EpochOutcome): Unit = {
+    import spark.implicits._
+    val s = out.stats
+    val highs = out.manifest.offsets.groupBy(_.partitionId)
+      .map { case (_, rs) => rs.map(_.highSeq).max }
+    val lag = if (highs.isEmpty) 0L else highs.max - highs.min
+    Seq((epochId, secs,
+      if (secs > 0) s.rowsExtracted / secs else 0.0,
+      if (s.rowsExtracted > 0)
+        s.rowsQuarantined.toDouble / s.rowsExtracted else 0.0,
+      s.rowsApplied, s.deletesApplied, s.dedupDrops, s.staleDrops, lag,
+      out.manifest.completeUntilSeq))
+      .toDF("epochId", "secs", "eventsPerSec", "quarantineRate",
+        "rowsApplied", "deletesApplied", "dedupDrops", "staleDrops",
+        "watermarkLagSpread", "completeUntilSeq")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/metrics/epoch=$epochId")
   }
 
   /** Convenience: generate the log on the fly (pure function of seq — no
@@ -109,7 +197,8 @@ object ReplayJob {
       spec: LogSpec,
       nEpochs: Int,
       nLogPartitions: Int = 32,
-      stateDir: Option[String] = None): Seq[EpochReport] = {
+      stateDir: Option[String] = None,
+      viewName: Option[String] = None): Seq[EpochReport] = {
     // Clamp every epoch's hi to the real top seq and drop empty slices: when
     // nEpochs*per over-covers the span (per rounds up to 1 with more epochs
     // than events), an unclamped middle epoch would claim — and permanently
@@ -129,7 +218,7 @@ object ReplayJob {
       val (_, lo, hi) = byId(epochId)
       spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(spec, cdf, s))
     }
-    run(spark, table, slice, ranges, nLogPartitions, stateDir)
+    run(spark, table, slice, ranges, nLogPartitions, stateDir, viewName)
   }
 
   /** Replay from a materialized parquet change log (the "binlog" on disk).

@@ -33,14 +33,8 @@ object Compaction {
     * anchored mid-log (e.g. (199,299]) says nothing about seqs 0..199 still
     * outstanding — purging against its high could let a later-arriving older
     * update resurrect a deleted key. */
-  def safeHorizon(m: EpochManifest): Long = {
-    val byPart = m.offsets.groupBy(_.partitionId)
-    if (byPart.isEmpty) return Long.MinValue
-    byPart.values.map { rs =>
-      val ivs = Intervals.normalize(rs.map(r => (r.lowSeq, r.highSeq)))
-      ivs.headOption.collect { case (-1L, hi) => hi }.getOrElse(Long.MinValue)
-    }.min
-  }
+  def safeHorizon(m: EpochManifest): Long =
+    Intervals.contiguousOriginPrefix(m.offsets)
 
   final case class CompactionReport(
       version: Long, purgedTombstones: Long, liveRows: Long, files: Int)

@@ -23,4 +23,19 @@ object Intervals {
 
   def maxHigh(xs: Seq[(Long, Long)]): Long =
     if (xs.isEmpty) Long.MinValue else xs.map(_._2).max
+
+  /** Largest S such that EVERY partition's committed intervals contiguously
+    * cover (-1, S] from the log origin; Long.MinValue if any partition has a
+    * gap at (or a first run not anchored to) the origin. This is both the
+    * completeness watermark (safe-to-read horizon) and the tombstone-purge
+    * horizon. */
+  def contiguousOriginPrefix(
+      offsets: Seq[graft.model.OffsetRange]): Long = {
+    val byPart = offsets.groupBy(_.partitionId)
+    if (byPart.isEmpty) return Long.MinValue
+    byPart.values.map { rs =>
+      val ivs = normalize(rs.map(r => (r.lowSeq, r.highSeq)))
+      ivs.headOption.collect { case (-1L, hi) => hi }.getOrElse(Long.MinValue)
+    }.min
+  }
 }

@@ -100,6 +100,7 @@ object MergeEngine {
       pipeline: graft.pipeline.Transform.T = graft.pipeline.Transform.identity,
       taskPolicies: Seq[graft.pipeline.TaskPolicies.Policy] =
         Seq(graft.pipeline.TaskPolicies.RowCountReconciliation()),
+      rowPolicies: Seq[RowPolicies.Policy] = RowPolicies.defaults,
       claimedRange: Option[(Long, Long)] = None): EpochOutcome = {
     import spark.implicits._
 
@@ -121,9 +122,9 @@ object MergeEngine {
     // --- 1. converter chain + quality gate (Converter/RowLevelPolicy) ----
     val withPart = pipeline(rawEvents.toDF())
       .withColumn("logPart", logPartitionCol(nLogPartitions))
-    val good = withPart.filter(RowPolicies.passAll())
-    val bad = withPart.filter(!RowPolicies.passAll())
-      .withColumn("reason", RowPolicies.failReason())
+    val good = withPart.filter(RowPolicies.passAll(rowPolicies))
+    val bad = withPart.filter(!RowPolicies.passAll(rowPolicies))
+      .withColumn("reason", RowPolicies.failReason(rowPolicies))
 
     // quarantine write + count in ONE pass (Observation rides the write
     // job); a separate count() would re-scan the whole epoch input.
@@ -260,11 +261,16 @@ object MergeEngine {
       }
       // genuinely empty slice with a declared range: metadata-only commit
       // persisting the claimed offsets (empty-WorkUnit analog).
+      val mo = mergedOffsets
+      val complete0 = math.max(
+        parent.map(_.completeUntilSeq).getOrElse(Long.MinValue),
+        Intervals.contiguousOriginPrefix(mo))
       val m = parent
         .map(pm => pm.copy(version = pm.version + 1, epochId = epochId,
-          offsets = mergedOffsets, stats = st, parentVersion = pm.version))
+          offsets = mo, stats = st, parentVersion = pm.version,
+          completeUntilSeq = complete0))
         .getOrElse(EpochManifest(0L, epochId, SchemaRegistry.baseSchemaId,
-          Nil, mergedOffsets, st, -1L))
+          Nil, mo, st, -1L, complete0))
       table.commit(m)
       return EpochOutcome(m, skipped = true, st)
     }
@@ -369,14 +375,22 @@ object MergeEngine {
       deletesApplied = deletes,
       staleDrops = stale)
 
+    // completeness watermark: monotone advance to the contiguous origin
+    // prefix — valid to publish only because the task-policy gate below
+    // fail-stops the commit when this epoch's counters do NOT reconcile
+    // (the reference's audit-count condition).
+    val offsetsNow = mergedOffsets
     val manifest = EpochManifest(
       version = parentVersion + 1,
       epochId = epochId,
       schemaId = schemaIdNow,
       files = (keptFiles ++ newFiles).sortBy(f => (f.bucket, f.path)),
-      offsets = mergedOffsets,
+      offsets = offsetsNow,
       stats = stats,
-      parentVersion = parentVersion)
+      parentVersion = parentVersion,
+      completeUntilSeq = math.max(
+        parent.map(_.completeUntilSeq).getOrElse(Long.MinValue),
+        Intervals.contiguousOriginPrefix(offsetsNow)))
 
     // --- 6. task-level policy gate: abort (no commit) on failure ---------
     graft.pipeline.TaskPolicies.enforce(taskPolicies, stats)

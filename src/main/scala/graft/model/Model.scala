@@ -77,7 +77,14 @@ final case class EpochManifest(
     files: Seq[DataFileEntry],   // complete file list of this snapshot
     offsets: Seq[OffsetRange],   // committed (low, high] per log partition
     stats: EpochStats,
-    parentVersion: Long)         // -1 for the first snapshot
+    parentVersion: Long,         // -1 for the first snapshot
+    // Completeness watermark (CompletenessWatermarkUpdater.java:45 analog):
+    // every seq <= completeUntilSeq is contiguously committed on EVERY
+    // partition from the log origin — consumers may treat data up to here as
+    // complete. Monotone; advances only when per-epoch counters reconciled
+    // (RowCountReconciliation gates each contributing commit). MinValue
+    // until the origin prefix is covered.
+    completeUntilSeq: Long = Long.MinValue)
 
 /** Lineage row persisted per (epoch, log-partition) — the "lineage rows in a
   * state table" of the north star; analog of Gobblin's per-WorkUnit committed

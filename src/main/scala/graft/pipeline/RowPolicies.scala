@@ -27,6 +27,15 @@ object RowPolicies {
       col("op") === "d" || col("content").isNotNull)
   )
 
+  /** Late-data lower bound (the reference's RecordTimestampLowerBoundPolicy,
+    * gobblin-core/.../policies/time/RecordTimestampLowerBoundPolicy.java:40):
+    * quarantine records whose event-time column lies at or below a cutoff —
+    * too old to admit (e.g. beyond the retention/completeness horizon).
+    * Compose with `defaults :+ timestampLowerBound(...)`. */
+  def timestampLowerBound(timeCol: String, minExclusive: Long): Policy =
+    Policy(s"${timeCol}_lower_bound",
+      col(timeCol).isNotNull && col(timeCol) > minExclusive)
+
   /** Conjunction of all policies, null-safe: a NULL predicate result (e.g. a
     * null `op` making `op.isin(...)` three-valued-NULL) counts as FAIL, so
     * the record lands in quarantine instead of silently vanishing from both

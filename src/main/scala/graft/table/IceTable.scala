@@ -302,6 +302,16 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     m
   }
 
+  /** Register the CURRENT snapshot's user view under a SQL-queryable name
+    * (the reference's publish-time catalog registration,
+    * gobblin-core/.../publisher/HiveRegistrationPublisher.java:71;
+    * gobblin-hive-registration). Re-invoked after each commit so
+    * `spark.sql("SELECT ... FROM name")` always reads the latest snapshot;
+    * the view pins THIS manifest's file list, so an in-flight query is
+    * snapshot-isolated from later commits. */
+  def registerView(spark: SparkSession, name: String): Unit =
+    read(spark).createOrReplaceTempView(name)
+
   /** Remove data files for a given epoch that were never committed (crash
     * cleanup); safe because readers only see manifest-listed files. Also
     * clears any staging leftovers of that epoch. */

@@ -1,0 +1,152 @@
+package graft
+
+import graft.driver.ReplayJob
+import graft.log.{ChangeLogGen, LogSpec, OracleFold}
+import graft.merge.MergeEngine
+import graft.model.ChangeEvent
+import graft.pipeline.RowPolicies
+import graft.table.IceTable
+
+/** Round-2 engine features: offset out-of-range recovery policies,
+  * completeness watermark, late-data row policy, per-epoch metrics export,
+  * catalog (view) registration on commit. */
+class RecoveryAndOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = LogSpec(seed = 77L, nEvents = 1000, nRepos = 4,
+    nPathsPerRepo = 8, pDelete = 0.1)
+
+  private def sha(t: IceTable): Map[(String, String), String] =
+    t.read(spark).select("repo", "path", "contentSha").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
+  /** log slice as a Dataset; local copies so closures don't capture the
+    * (non-serializable) suite */
+  private def slice(lo: Long, hi: Long): org.apache.spark.sql.Dataset[ChangeEvent] = {
+    val sp = spec
+    val cdf = ChangeLogGen.zipfCdf(sp.nRepos, sp.zipfExponent)
+    spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(sp, cdf, s))
+  }
+
+  /** ingest only seqs <= 499, then "retention" purges seqs < 700 */
+  private def truncatedScenario(): IceTable = {
+    val t = IceTable.create(tmpDir("oor"), numBuckets = 2)
+    MergeEngine.applyEpoch(spark, t, slice(-1, 499), 0, nLogPartitions = 2,
+      claimedRange = Some((-1L, 499L)))
+    t
+  }
+
+  private def retainedTail(): org.apache.spark.sql.Dataset[ChangeEvent] =
+    slice(699, 999)
+
+  test("reset earliest: purged gap is claimed, retained tail ingests") {
+    val t = truncatedScenario()
+    assert(ReplayJob.resetOutOfRange(t, ReplayJob.ResetEarliest,
+      logEarliest = 700L, logLatest = 999L, nLogPartitions = 2))
+    // the lost range (499, 699] is fenced; completeness can advance past it
+    val m = t.currentManifest().get
+    assert(m.offsets.forall(r => r.lowSeq == -1L && r.highSeq == 699L))
+    MergeEngine.applyEpoch(spark, t, retainedTail(), 1, nLogPartitions = 2,
+      claimedRange = Some((699L, 999L)))
+    val want = OracleFold.fold(ChangeLogGen.generateLocal(spec)
+      .filter(e => e.seq <= 499 || e.seq >= 700))
+      .map { case (k, v) => k -> v.contentSha }
+    assert(sha(t) == want, "head + retained tail must both be applied")
+    assert(t.currentManifest().get.completeUntilSeq == 999L)
+  }
+
+  test("reset latest: history skipped, replaying retained tail is fenced") {
+    val t = truncatedScenario()
+    assert(ReplayJob.resetOutOfRange(t, ReplayJob.ResetLatest,
+      logEarliest = 700L, logLatest = 999L, nLogPartitions = 2))
+    val before = sha(t)
+    val out = MergeEngine.applyEpoch(spark, t, retainedTail(), 1,
+      nLogPartitions = 2, claimedRange = Some((699L, 999L)))
+    assert(out.skipped, "everything up to the tail is fenced under Latest")
+    assert(sha(t) == before)
+  }
+
+  test("reset nearest snaps below-range to earliest; in-range is a no-op") {
+    val t = truncatedScenario()
+    assert(ReplayJob.resetOutOfRange(t, ReplayJob.ResetNearest,
+      logEarliest = 700L, logLatest = 999L, nLogPartitions = 2))
+    val m = t.currentManifest().get
+    assert(m.offsets.forall(_.highSeq == 699L))
+    // second invocation: nothing out of range anymore
+    assert(!ReplayJob.resetOutOfRange(t, ReplayJob.ResetNearest,
+      logEarliest = 700L, logLatest = 999L, nLogPartitions = 2))
+    // and a table whose watermark is in range never resets
+    val t2 = truncatedScenario()
+    assert(!ReplayJob.resetOutOfRange(t2, ReplayJob.ResetEarliest,
+      logEarliest = 300L, logLatest = 999L, nLogPartitions = 2))
+  }
+
+  test("completeness watermark: gap blocks it, filling the gap advances it") {
+    val t = IceTable.create(tmpDir("cw"), numBuckets = 2)
+    // out-of-order: epoch (499, 999] first — origin prefix missing
+    MergeEngine.applyEpoch(spark, t, slice(499, 999), 1, nLogPartitions = 2,
+      claimedRange = Some((499L, 999L)))
+    assert(t.currentManifest().get.completeUntilSeq == Long.MinValue,
+      "watermark must NOT advance past the (−1,499] gap")
+    // the gap fills — watermark jumps to the full contiguous prefix
+    MergeEngine.applyEpoch(spark, t, slice(-1, 499), 0, nLogPartitions = 2,
+      claimedRange = Some((-1L, 499L)))
+    assert(t.currentManifest().get.completeUntilSeq == 999L)
+  }
+
+  test("late-data row policy quarantines below-bound events") {
+    val t = IceTable.create(tmpDir("late"), numBuckets = 2)
+    val events = Seq(
+      ChangeEvent("i", 100L, "r", "p1", "c1", "scala", "v1"),
+      ChangeEvent("i", 5L, "r", "p2", "c2", "scala", "v2"), // too old
+      ChangeEvent("i", 200L, "r", "p3", "c3", "scala", "v3"))
+    val qDir = tmpDir("lateq")
+    val out = MergeEngine.applyEpoch(spark, t, events.toDS(), 0,
+      nLogPartitions = 2, quarantineDir = Some(qDir),
+      rowPolicies =
+        RowPolicies.defaults :+ RowPolicies.timestampLowerBound("seq", 50L))
+    assert(out.stats.rowsQuarantined == 1)
+    assert(out.stats.rowsApplied == 2)
+    val q = spark.read.parquet(s"$qDir/epoch=0")
+    assert(q.select("reason").as[String].collect().toSeq ==
+      Seq("seq_lower_bound"))
+    assert(sha(t).keySet == Set(("r", "p1"), ("r", "p3")))
+  }
+
+  test("metrics rows land per epoch beside lineage") {
+    val state = tmpDir("mstate")
+    val t = IceTable.create(tmpDir("mtab"), numBuckets = 2)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 2,
+      nLogPartitions = 2, stateDir = Some(state))
+    (0 until 2).foreach { e =>
+      val m = spark.read.parquet(s"$state/metrics/epoch=$e")
+      assert(m.count() == 1)
+      val row = m.head()
+      assert(row.getAs[Double]("eventsPerSec") > 0)
+      assert(row.getAs[Double]("quarantineRate") == 0.0)
+      assert(row.getAs[Long]("rowsApplied") > 0)
+    }
+    // completeness watermark surfaces in the ops metrics
+    val last = spark.read.parquet(s"$state/metrics/epoch=1").head()
+    assert(last.getAs[Long]("completeUntilSeq") == spec.nEvents - 1)
+  }
+
+  test("view registration: SQL name tracks the latest snapshot per commit") {
+    val t = IceTable.create(tmpDir("vtab"), numBuckets = 2)
+    val ranges = Seq((0L, -1L, 499L), (1L, 499L, 999L))
+    ReplayJob.run(spark, t, id => { val (_, lo, hi) = ranges(id.toInt)
+      slice(lo, hi) }, ranges.take(1), nLogPartitions = 2,
+      viewName = Some("graft_repo_files"))
+    val afterFirst = spark.sql(
+      "SELECT count(*) AS n FROM graft_repo_files").head().getLong(0)
+    assert(afterFirst == t.readAt(spark, 0L).count())
+    ReplayJob.run(spark, t, id => { val (_, lo, hi) = ranges(id.toInt)
+      slice(lo, hi) }, ranges, nLogPartitions = 2,
+      viewName = Some("graft_repo_files"))
+    val afterSecond = spark.sql(
+      "SELECT count(*) AS n FROM graft_repo_files").head().getLong(0)
+    assert(afterSecond == t.read(spark).count())
+    val want = OracleFold.fold(ChangeLogGen.generateLocal(spec)).size
+    assert(afterSecond == want, "view must reflect the LATEST snapshot")
+  }
+}
