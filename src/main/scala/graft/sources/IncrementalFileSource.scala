@@ -79,6 +79,40 @@ final class IncrementalFileSource(stateDir: String) {
     bins.toSeq.filter(_._1.nonEmpty).map(_._1.reverse)
   }
 
+  /** Bi-level packing (KafkaBiLevelWorkUnitPacker.java:102-130): level 1
+    * pre-groups files by affinity key (their parent directory — the "topic")
+    * into ~3·nBins sub-bins so files of one group tend to ride together
+    * (shared dictionary/footer locality, one listing per group at read
+    * time); level 2 worst-fit-decreasing packs those sub-bins into the
+    * final `nBins` slots. The 3× fan-out is the reference's empirical
+    * choice (gobblin-docs/case-studies/Kafka-HDFS-Ingestion.md:199-205):
+    * enough sub-bins that level 2 can still balance, few enough that
+    * affinity is mostly preserved. */
+  def binPackBiLevel(files: Seq[FileEntry], nBins: Int): Seq[Seq[FileEntry]] = {
+    if (files.isEmpty) return Seq.empty
+    val groups = files.groupBy(f =>
+      f.path.substring(0, math.max(0, f.path.lastIndexOf('/'))))
+    val level1Bins = math.max(1, 3 * nBins)
+    // split each affinity group into sub-bins no larger than its fair share
+    val avg = math.max(1L, files.map(_.size).sum / level1Bins)
+    val subBins: Seq[Seq[FileEntry]] = groups.toSeq.sortBy(_._1).flatMap {
+      case (_, fs) =>
+        fs.sortBy(f => (-f.size, f.path))
+          .foldLeft(List.empty[(List[FileEntry], Long)]) {
+            case ((bin, sz) :: rest, f) if sz + f.size <= avg || bin.isEmpty =>
+              (f :: bin, sz + f.size) :: rest
+            case (acc, f) => (f :: Nil, f.size) :: acc
+          }.map(_._1.reverse)
+    }
+    // level 2: worst-fit decreasing over sub-bins (kept intact)
+    val slots = Array.fill(math.max(1, nBins))((List.empty[Seq[FileEntry]], 0L))
+    subBins.sortBy(b => (-b.map(_.size).sum, b.head.path)).foreach { b =>
+      val i = slots.indices.minBy(j => slots(j)._2)
+      slots(i) = (b :: slots(i)._1, slots(i)._2 + b.map(_.size).sum)
+    }
+    slots.toSeq.filter(_._1.nonEmpty).map(_._1.reverse.flatten)
+  }
+
   /** append pulled files to the ledger (atomic rename, re-run safe). */
   def markProcessed(files: Seq[FileEntry]): Unit = {
     val f = stateFs

@@ -131,6 +131,69 @@ class RecoveryAndOpsSpec extends SparkSpec {
     assert(last.getAs[Long]("completeUntilSeq") == spec.nEvents - 1)
   }
 
+  test("produce-rate tracker + budgeted epoch admission") {
+    import graft.driver.RateControl
+    val tr = new RateControl.ProduceRateTracker(alpha = 0.5)
+    tr.update(0, events = 1000, secs = 1.0)  // 1000 ev/s
+    tr.update(0, events = 3000, secs = 1.0)  // EWMA: 0.5*3000 + 0.5*1000
+    assert(tr.rate(0) == 2000.0)
+    tr.update(1, events = 500, secs = 0.5)   // 1000 ev/s first obs
+    assert(tr.totalRate == 3000.0)
+    // admission: 60s budget at 3000 ev/s => 180k events per epoch
+    val eps = RateControl.planEpochsByBudget(-1L, 399999L,
+      targetSecsPerEpoch = 60.0, eventsPerSec = tr.totalRate)
+    assert(eps.size == 3)
+    assert(eps.forall { case (_, lo, hi) => hi - lo <= 180000L })
+    assert(eps.head._2 == -1L && eps.last._3 == 399999L)
+    // unknown rate: one epoch, no starvation
+    assert(RateControl.planEpochsByBudget(-1L, 99L, 60.0, 0.0).size == 1)
+  }
+
+  test("ingestion health check flags backlog, rising lag, quarantine") {
+    import graft.driver.RateControl._
+    def h(e: Long, eps: Double, lag: Long, q: Double = 0.0) =
+      EpochHealth(e, eps, lag, q)
+    // healthy: keeping up
+    assert(check(Seq(h(0, 5000, 10), h(1, 5200, 8), h(2, 5100, 9)),
+      produceRate = 4000).healthy)
+    // backlog: consumption below produce rate for the whole window
+    val backlog = check(Seq(h(0, 3000, 10), h(1, 3100, 12), h(2, 2900, 11)),
+      produceRate = 4000)
+    assert(!backlog.healthy && backlog.reasons.exists(_.contains("backlog")))
+    // rising lag spread across the window
+    val lagging = check(Seq(h(0, 9000, 10), h(1, 9000, 20), h(2, 9000, 40)),
+      produceRate = 4000)
+    assert(!lagging.healthy && lagging.reasons.exists(_.contains("lag")))
+    // persistent quarantine rate
+    val dirty = check(Seq(h(0, 9000, 5, 0.2), h(1, 9000, 4, 0.3),
+      h(2, 9000, 5, 0.4)), produceRate = 4000)
+    assert(!dirty.healthy && dirty.reasons.exists(_.contains("quarantine")))
+    // not enough history: healthy by default
+    assert(check(Seq(h(0, 1, 1)), produceRate = 4000).healthy)
+  }
+
+  test("bi-level packing balances slots while preserving group affinity") {
+    import graft.sources.IncrementalFileSource
+    import graft.sources.IncrementalFileSource.FileEntry
+    val src = new IncrementalFileSource(tmpDir("blp"))
+    val files = (0 until 4).flatMap { g =>
+      (0 until 12).map(i => FileEntry(s"/logs/topic$g/part-$i.parquet",
+        size = 100L + 37L * ((g * 12 + i) % 7)))
+    }
+    val bins = src.binPackBiLevel(files, nBins = 4)
+    assert(bins.flatten.sortBy(_.path) == files.sortBy(_.path),
+      "every file packed exactly once")
+    val sizes = bins.map(_.map(_.size).sum)
+    assert(sizes.max <= 2 * (sizes.sum / sizes.length),
+      s"slots must stay balanced: $sizes")
+    // affinity: a topic's files touch few slots (sub-bins ride intact)
+    val topicSpread = (0 until 4).map { g =>
+      bins.count(_.exists(_.path.contains(s"topic$g/")))
+    }
+    assert(topicSpread.forall(_ <= 3),
+      s"bi-level packing should keep topics on few slots: $topicSpread")
+  }
+
   test("view registration: SQL name tracks the latest snapshot per commit") {
     val t = IceTable.create(tmpDir("vtab"), numBuckets = 2)
     val ranges = Seq((0L, -1L, 499L), (1L, 499L, 999L))
