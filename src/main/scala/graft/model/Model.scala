@@ -62,7 +62,7 @@ final case class EpochStats(
   * id — cf. IcebergMetadataWriter.computeCandidateSchema,
   * gobblin-iceberg/.../writer/IcebergMetadataWriter.java:455-524). */
 final case class DataFileEntry(path: String, bucket: Int, rows: Long,
-    schemaId: Int)
+    schemaId: Int, bytes: Long = -1L)
 
 /**
  * Snapshot manifest: the unit of atomic commit. A snapshot is readable iff

@@ -202,6 +202,51 @@ final class IceTable(val dir: String, val numBuckets: Int) {
       }.reduce(_.unionByName(_))
     }
 
+  /** Bucket-aligned read: the manifest-listed files, one RDD partition per
+    * murmur3(bucket) partition index, with the resulting DataFrame CLAIMING
+    * `HashPartitioning(bucket, numBuckets)` (via LogicalRDD — the stock-
+    * Spark stand-in for a DSv2 scan reporting KeyGroupedPartitioning).
+    * The claim is physically true by construction: every file holds exactly
+    * one bucket (write layout), and each file group is placed on the exact
+    * partition index Catalyst computes for its bucket value. A downstream
+    * join keyed on (bucket, ...) against a side repartitioned by bucket
+    * then needs NO exchange on this side — the CoW MERGE target never
+    * shuffles, it is read in place per bucket.
+    *
+    * Scale note: partition count == numBuckets, so one task per bucket;
+    * size buckets for the cluster (the production path at very large bucket
+    * counts is the DSv2 storage-partitioned-join contract, same semantics). */
+  def readFilesBucketAligned(spark: SparkSession, files: Seq[DataFileEntry],
+      targetSchemaId: Int = SchemaRegistry.baseSchemaId): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.GraftSqlBridge
+    // canonical column order so every group (and schema vintage) lines up
+    val canonical: Seq[String] =
+      SchemaRegistry.schemaFor(targetSchemaId).columns.map(_.name) ++
+        SchemaRegistry.physicalCols
+    def canon(df: DataFrame): DataFrame = df.select(canonical.map(col): _*)
+    if (files.isEmpty)
+      return canon(readFiles(spark, files, targetSchemaId))
+        .repartition(numBuckets, col("bucket"))
+    val groups: Map[Int, Seq[DataFileEntry]] = files.groupBy(f =>
+      GraftSqlBridge.murmur3PartitionId(f.bucket, numBuckets))
+    val groupDfs: Map[Int, DataFrame] = groups.map { case (tp, fs) =>
+      tp -> canon(readFiles(spark, fs, targetSchemaId))
+    }
+    val schema = groupDfs.head._2.schema
+    val rdds = (0 until numBuckets).map { tp =>
+      groupDfs.get(tp) match {
+        case Some(df) => df.coalesce(1).queryExecution.toRdd
+        case None => spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+      }
+    }
+    val bucketIdx = schema.fieldIndex("bucket")
+    GraftSqlBridge.dataFrameWithPartitioning(spark,
+      spark.sparkContext.union(rdds), schema,
+      attrs => HashPartitioning(Seq(attrs(bucketIdx)), numBuckets))
+  }
+
   private def emptyDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.emptyDataset[FileRow]
@@ -256,7 +301,7 @@ final class IceTable(val dir: String, val numBuckets: Int) {
             val dest = new HPath(destDir, s"e$epochId-${s.getPath.getName}")
             if (!f.rename(s.getPath, dest))
               throw new IllegalStateException(s"publish failed: $dest")
-            DataFileEntry(dest.toString, bucket, -1L, schemaId)
+            DataFileEntry(dest.toString, bucket, -1L, schemaId, s.getLen)
           }
       }.toSeq
     f.delete(staging, true)
@@ -268,7 +313,7 @@ final class IceTable(val dir: String, val numBuckets: Int) {
       schemaId: Int = SchemaRegistry.baseSchemaId): Seq[DataFileEntry] = {
     val prefix = s"e$epochId-"
     epochFileStatuses(prefix).map { case (bucket, s) =>
-      DataFileEntry(s.getPath.toString, bucket, -1L, schemaId)
+      DataFileEntry(s.getPath.toString, bucket, -1L, schemaId, s.getLen)
     }.sortBy(e => (e.bucket, e.path))
   }
 

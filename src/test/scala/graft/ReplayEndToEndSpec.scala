@@ -139,7 +139,7 @@ class ReplayEndToEndSpec extends SparkSpec {
     assert(got2 == want2)
   }
 
-  test("merge plan is bucket-aligned: one exchange per side, none after join") {
+  test("merge plan is bucket-aligned: target in place, one winner exchange") {
     import scala.jdk.CollectionConverters._
     val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -151,15 +151,23 @@ class ReplayEndToEndSpec extends SparkSpec {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(l)
+    spark.conf.set("spark.graft.alignedScanMinBytes", "0") // force aligned
     try {
       val t = IceTable.create(tmpDir("align"), numBuckets = 4)
       ReplayJob.replayGenerated(spark, t, spec.copy(nEvents = 4000),
         nEpochs = 2, nLogPartitions = 4)
+      // correctness through the claimed-partitioning scan path
+      val sp = spec.copy(nEvents = 4000)
+      val want = OracleFold.fold(ChangeLogGen.generateLocal(sp))
+        .map { case (k, v) => k -> (v.contentSha, v.commit) }
+      assert(tableState(t) == want,
+        "aligned-scan replay must match the oracle fold")
       // listener delivery is async; wait for the epoch-1 merge plan (both
-      // sides non-empty -> a real full-outer join over the aligned sides)
+      // sides non-empty -> a real full-outer join over the aligned sides;
+      // the target side is the claimed-partitioning scan = ExistingRDD)
       val deadline = System.currentTimeMillis() + 30000
       def planOpt = captured.asScala.find(p =>
-        p.contains("FullOuter") && p.contains("FileScan"))
+        p.contains("FullOuter") && p.contains("ExistingRDD"))
       while (planOpt.isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       val plan = planOpt.getOrElse(
@@ -167,22 +175,25 @@ class ReplayEndToEndSpec extends SparkSpec {
       // count only the merge plan proper: the printed string also embeds the
       // adaptive Initial Plan and the cached winners' InMemoryRelation
       // subplan (whose own envelope-aggregation exchange is expected) —
-      // both appear strictly BELOW the two join-side exchanges.
+      // both appear strictly BELOW the join-side exchange.
       val mergeSection = plan.linesIterator
         .takeWhile(l => !l.contains("InMemoryRelation") &&
           !l.contains("== Initial Plan =="))
         .mkString("\n")
       val nShuffles =
         "Exchange hashpartitioning".r.findAllIn(mergeSection).length
-      assert(nShuffles == 2,
-        s"bucket-aligned merge must shuffle each side exactly once " +
-          s"(got $nShuffles):\n$plan")
-      // and both exchanges key on bucket ALONE, nothing re-shuffles the join
-      // output or stacks a (repo,path) exchange on a side
+      assert(nShuffles == 1,
+        s"bucket-aligned merge: target side reads in place, only the winner " +
+          s"side shuffles once (got $nShuffles):\n$plan")
+      // the single exchange keys on bucket ALONE; nothing re-shuffles the
+      // join output or stacks a (repo,path) exchange on a side
       assert("Exchange hashpartitioning\\(bucket#\\d+, \\d+\\)".r
-        .findAllIn(mergeSection).length == 2,
-        s"both exchanges must partition by bucket only:\n$plan")
-    } finally spark.listenerManager.unregister(l)
+        .findAllIn(mergeSection).length == 1,
+        s"the one exchange must partition by bucket only:\n$plan")
+    } finally {
+      spark.conf.unset("spark.graft.alignedScanMinBytes")
+      spark.listenerManager.unregister(l)
+    }
   }
 
   test("skew: no reducer partition holds a disproportionate share") {
