@@ -91,6 +91,18 @@ object Transform {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Avro BINARY envelope serde (EnvelopePayloadConverter / Avro serde
+    * converters, §2.2) — schemaless Avro bytes with the schema known
+    * out-of-band; see graft.functions.AvroEnvelope. 1:1 converters. */
+  def avroEncodeEnvelope(as: String = "payload"): T = df =>
+    df.select(graft.functions.AvroEnvelope.toAvro(struct(
+      col("op"), col("seq"), col("repo"), col("path"),
+      col("commit"), col("lang"), col("content"))).as(as))
+
+  def avroDecodeEnvelope(payloadField: String = "payload"): T = df =>
+    df.select(graft.functions.AvroEnvelope.fromAvro(col(payloadField))
+      .as("e")).select(col("e.*"))
+
   /** record → delete-operation (ObjectStoreDeleteConverter analog) */
   def markDeletes(cond: Column): T =
     _.withColumn("op", when(cond, "d").otherwise(col("op")))

@@ -45,6 +45,39 @@ class TransformsSpec extends SparkSpec {
     assert(math.abs(s1.size - 3000) < 300)
   }
 
+  test("Avro binary envelope round-trips and matches vanilla Avro bytes") {
+    import graft.model.ChangeEvent
+    val events = Seq(
+      ChangeEvent("i", 7L, "r/a", "src/x.scala", "c" * 40, "scala", "v = 1"),
+      ChangeEvent("d", 9L, "r/b", "doc/y.md", "d" * 40, "md", ""))
+    val in = events.toDS().toDF()
+    // encode -> decode is the identity on the envelope
+    val roundTrip = Transform.chain(
+      Transform.avroEncodeEnvelope(), Transform.avroDecodeEnvelope())(in)
+    assert(roundTrip.as[ChangeEvent].collect().toSeq == events)
+    // the engine's bytes are REAL Avro: decodable by the vanilla library
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    val bytes = Transform.avroEncodeEnvelope()(in)
+      .collect().map(_.getAs[Array[Byte]]("payload"))
+    val rec = new GenericDatumReader[GenericRecord](
+      graft.functions.AvroEnvelope.schema)
+      .read(null, DecoderFactory.get().binaryDecoder(bytes(0), null))
+    assert(rec.get("repo").toString == "r/a" && rec.get("seq") == 7L)
+    // and vanilla-encoded bytes decode through the engine
+    val vanilla = graft.functions.AvroEnvelope.encodeRow(
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("u"), 11L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("rr"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("pp"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("cc"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("ll"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("vv")))
+    val back = Transform.avroDecodeEnvelope()(
+      Seq(Tuple1(vanilla)).toDF("payload")).as[ChangeEvent].head()
+    assert(back == ChangeEvent("u", 11L, "rr", "pp", "cc", "ll", "vv"))
+  }
+
   test("markDeletes rewrites op by predicate (ObjectStoreDelete analog)") {
     val out = Transform.markDeletes($"path".endsWith(".md"))(df)
     assert(out.filter($"op" === "d").count() == 1)
