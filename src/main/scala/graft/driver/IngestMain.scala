@@ -61,8 +61,55 @@ object IngestMain {
         println(f"mode=stream events=${nEvents.toLong} secs=$secs%.2f " +
           f"events_per_sec=${nEvents.toLong / secs}%.0f final_rows=$rows " +
           f"version=${t.currentVersion()}")
+      case "replay-budgeted" =>
+        // rate-controlled admission: a small probe epoch measures ingest
+        // rate, then each epoch is sized so its expected duration fits the
+        // wall-time budget (the flush-interval analog); the ingestion
+        // health check runs on the accumulated per-epoch metrics.
+        val Array(_, tableDir, nEventsS, targetSecsS) = args.take(4)
+        val nEvents = nEventsS.toLong
+        val target = targetSecsS.toDouble
+        val t = IceTable.create(tableDir)
+        val spec = LogSpec(nEvents = nEvents)
+        import spark.implicits._
+        val cdf = ChangeLogGen.zipfCdf(spec.nRepos, spec.zipfExponent)
+        def slice(lo: Long, hi: Long) = spark.range(lo + 1, hi + 1)
+          .map(s => ChangeLogGen.eventAt(spec, cdf, s))
+        val tracker = new RateControl.ProduceRateTracker()
+        val history = scala.collection.mutable.ArrayBuffer
+          .empty[RateControl.EpochHealth]
+        val top = nEvents - 1
+        val probe = math.max(1L, math.min(nEvents / 10, 1000000L))
+        var lo = -1L
+        var epochId = 0L
+        while (lo < top) {
+          val planned =
+            if (tracker.totalRate <= 0) probe
+            else math.max(1L, (tracker.totalRate * target).toLong)
+          val hi = math.min(top, lo + planned)
+          val t0 = System.nanoTime()
+          val out = graft.merge.MergeEngine.applyEpoch(spark, t,
+            slice(lo, hi), epochId, claimedRange = Some((lo, hi)))
+          val secs = (System.nanoTime() - t0) / 1e9
+          tracker.update(0, hi - lo, secs)
+          val st = out.stats
+          history += RateControl.EpochHealth(epochId, (hi - lo) / secs,
+            watermarkLagSpread = 0L,
+            quarantineRate = if (st.rowsExtracted > 0)
+              st.rowsQuarantined.toDouble / st.rowsExtracted else 0.0)
+          val health = RateControl.check(history.toSeq, produceRate = 0.0)
+          println(f"epoch=$epochId%d range=($lo%d,$hi%d] secs=$secs%.2f " +
+            f"planned_by=${if (epochId == 0) "probe" else "budget"}%s " +
+            f"healthy=${health.healthy}%s")
+          lo = hi
+          epochId += 1
+        }
+        println(f"mode=replay-budgeted events=$nEvents%d epochs=$epochId%d " +
+          f"rate_ewma=${tracker.totalRate}%.0f " +
+          f"final_rows=${t.read(spark).count()}%d version=${t.currentVersion()}%d")
       case other =>
-        System.err.println(s"unknown mode '$other'; use replay|stream")
+        System.err.println(
+          s"unknown mode '$other'; use replay|stream|replay-budgeted")
         sys.exit(2)
     } finally spark.stop()
   }

@@ -88,17 +88,26 @@ object DocQueries {
     }),
 
     "d4_lang_id" -> ((s, d) => {
-      // n-gram/stopword language heuristic with deterministic tie-break
-      val t = concat(lit(" "), lower(col("text")), lit(" "))
-      val en = regexp_count(t, lit(" (the|and|a|of|to) "))
-      val de = regexp_count(t, lit(" (der|die|und|das|ist) "))
-      val fr = regexp_count(t, lit(" (le|la|et|les|des) "))
-      documents(s, d).select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        when(en >= de && en >= fr && en > 0, "en")
-          .when(de >= fr && de > 0, "de")
-          .when(fr > 0, "fr")
-          .otherwise("und").as("predicted_lang"))
+      // stopword language heuristic with deterministic tie-break: tokenize
+      // ONCE (materialized — no CSE across lambda boundaries) and count
+      // stopword hits per language with array filters, instead of three
+      // regexp passes over the raw text (was the slowest scalar query:
+      // 1.9 s -> one split pass at sf0.1).
+      val en = size(filter(col("toks"),
+        t => t.isin("the", "and", "a", "of", "to")))
+      val de = size(filter(col("toks"),
+        t => t.isin("der", "die", "und", "das", "ist")))
+      val fr = size(filter(col("toks"),
+        t => t.isin("le", "la", "et", "les", "des")))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          tokens(lower(col("text"))).as("toks"))
+        .select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          when(en >= de && en >= fr && en > 0, "en")
+            .when(de >= fr && de > 0, "de")
+            .when(fr > 0, "fr")
+            .otherwise("und").as("predicted_lang"))
         .orderBy("doc_id")
     }),
 
@@ -246,13 +255,17 @@ object DocQueries {
          FROM t ORDER BY doc_id""",
     "d4_lang_id" ->
       """WITH t AS (
-           SELECT doc_id, lang, ' ' || lower(text) || ' ' AS tt
+           SELECT doc_id, lang,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
            FROM documents),
          c AS (
            SELECT doc_id, lang,
-                  len(regexp_extract_all(tt, ' (the|and|a|of|to) ')) AS en,
-                  len(regexp_extract_all(tt, ' (der|die|und|das|ist) ')) AS de,
-                  len(regexp_extract_all(tt, ' (le|la|et|les|des) ')) AS fr
+                  len(list_filter(toks,
+                    x -> x IN ('the','and','a','of','to'))) AS en,
+                  len(list_filter(toks,
+                    x -> x IN ('der','die','und','das','ist'))) AS de,
+                  len(list_filter(toks,
+                    x -> x IN ('le','la','et','les','des'))) AS fr
            FROM t)
          SELECT doc_id, lang AS labeled_lang,
                 CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
