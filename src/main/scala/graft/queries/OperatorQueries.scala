@@ -29,6 +29,24 @@ object OperatorQueries {
         .orderBy("o_orderkey")
     }),
 
+    "q28_asof_binned" -> ((s, d) => {
+      // same result as q22 through the SKEW-SAFE binned as-of join: window
+      // partitions on (key, 30-day bin) + bin-level carry-in, so a Zipf-hot
+      // key spreads across bins instead of one window partition.
+      val uniqEvents = events(s, d)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("last_event_id"))
+      val left = orders(s, d)
+        .withColumn("ukey", col("o_custkey") % 150)
+      AsOfJoin.joinBinned(left, uniqEvents,
+        keyL = "ukey", keyR = "user_id",
+        tsL = "o_orderdate", tsR = "ts",
+        payload = Seq("last_event_id"),
+        bin = t => floor(t.cast("timestamp").cast("long") / (86400L * 30)))
+        .select(col("o_orderkey"), col("ukey"), col("last_event_id"))
+        .orderBy("o_orderkey")
+    }),
+
     "q23_salted_distinct" -> ((s, d) => {
       // exact distinct-count per (hot) key via two-phase salting
       SaltedAggregation.distinctCount(events(s, d), Seq("event_type"),
@@ -69,6 +87,17 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" ->
+      """WITH uniq AS (
+           SELECT user_id, ts, max(event_id) AS last_event_id
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT o_orderkey, o_custkey % 150 AS ukey, o_orderdate
+               FROM orders)
+         SELECT o.o_orderkey, o.ukey, u.last_event_id
+         FROM o ASOF LEFT JOIN uniq u
+           ON o.ukey = u.user_id AND u.ts <= o.o_orderdate
+         ORDER BY o.o_orderkey""",
+    // identical answer to q22 — the binned algorithm must not change results
+    "q28_asof_binned" ->
       """WITH uniq AS (
            SELECT user_id, ts, max(event_id) AS last_event_id
            FROM events GROUP BY 1, 2),

@@ -24,6 +24,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("binned as-of join matches the windowed as-of join on a hot key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(5)
+    // 90% of rows on one hot key — the skew the binned variant exists for
+    def key(i: Int) = if (rnd.nextInt(10) < 9) "hot" else s"k${i % 7}"
+    val left = (0 until 2000).map(i =>
+      (key(i), rnd.nextInt(10000).toLong, i)).toDF("k", "t", "id")
+    val right = (0 until 500).map(i =>
+      (key(i), rnd.nextInt(10000).toLong, s"v$i")).toDF("k", "t", "v")
+      .groupBy("k", "t").agg(max("v").as("v")) // unique (k,t): deterministic
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    val reference = AsOfJoin.join(left, right, "k", "k", "t", "t", Seq("v"))
+    val binned = AsOfJoin.joinBinned(left, right, "k", "k", "t", "t",
+      Seq("v"), bin = t => floor(t / 1000))
+    assert(norm(binned) == norm(reference))
+    // and with a tolerance window
+    val refTol = AsOfJoin.join(left, right, "k", "k", "t", "t", Seq("v"),
+      tolerance = Some(lit(150L)))
+    val binTol = AsOfJoin.joinBinned(left, right, "k", "k", "t", "t",
+      Seq("v"), bin = t => floor(t / 1000), tolerance = Some(lit(150L)))
+    assert(norm(binTol) == norm(refTol))
+  }
+
   test("as-of join respects tolerance") {
     val left = Seq((1, 100, "a"), (1, 200, "b")).toDF("k", "ts", "lv")
     val right = Seq((1, 90, "r90")).toDF("k", "ts", "rv")
