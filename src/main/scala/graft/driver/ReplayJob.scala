@@ -167,10 +167,11 @@ object ReplayJob {
     }
   }
 
-  /** one operations metrics row per committed epoch */
-  private def writeMetrics(spark: SparkSession, stateDir: String,
-                           epochId: Long, secs: Double,
-                           out: MergeEngine.EpochOutcome): Unit = {
+  /** one operations metrics row per committed epoch (shared with the
+    * streaming runner) */
+  def writeMetrics(spark: SparkSession, stateDir: String,
+                   epochId: Long, secs: Double,
+                   out: MergeEngine.EpochOutcome): Unit = {
     import spark.implicits._
     val s = out.stats
     val highs = out.manifest.offsets.groupBy(_.partitionId)

@@ -33,7 +33,8 @@ object StreamingIngest {
       nLogPartitions: Int = 32,
       stateDir: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None) = {
+      maxFilesPerTrigger: Option[Int] = None,
+      viewName: Option[String] = None) = {
     import spark.implicits._
     val schema = spark.emptyDataset[ChangeEvent].schema
     var reader = spark.readStream.schema(schema)
@@ -47,13 +48,18 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
         val prev = MergeEngine.committedHighs(table.currentManifest())
+        val t0 = System.nanoTime()
         val out = MergeEngine.applyEpoch(spark, table, batch, batchId,
           nLogPartitions, stateDir.map(d => s"$d/quarantine"))
+        val secs = (System.nanoTime() - t0) / 1e9
         stateDir.foreach { d =>
-          if (!out.skipped)
+          if (!out.skipped) {
             MergeEngine.writeLineage(spark, d, batchId, prev,
               out.manifest.offsets, out.stats)
+            ReplayJob.writeMetrics(spark, d, batchId, secs, out)
+          }
         }
+        viewName.foreach(n => if (!out.skipped) table.registerView(spark, n))
         ()
       }
       .start()
