@@ -25,6 +25,39 @@ class TableInvariantsSpec extends SparkSpec {
     assert(t.currentVersion() == ok.version)
   }
 
+  test("racing commits of the same version: exactly one wins (rename CAS)") {
+    val t = IceTable.create(tmpDir("race"), numBuckets = 2)
+    ReplayJob.replayGenerated(spark, t,
+      LogSpec(nEvents = 300, nRepos = 3, nPathsPerRepo = 4), nEpochs = 1,
+      nLogPartitions = 2)
+    val m = t.currentManifest().get
+    // two writers planned against the same parent race the SAME next version
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val results = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          val mine = m.copy(version = m.version + 1, epochId = 100L + i,
+            parentVersion = m.version)
+          gate.await()
+          try { t.commit(mine); None }
+          catch { case e: Throwable => Some(e) }
+        }
+      })
+    }
+    gate.countDown()
+    val outcomes = results.map(_.get())
+    pool.shutdown()
+    assert(outcomes.count(_.isEmpty) == 1,
+      s"exactly one racer must win, got $outcomes")
+    assert(outcomes.count(_.exists(_.isInstanceOf[IllegalArgumentException]))
+      == 1, s"the loser must get a CAS error, got $outcomes")
+    // the table is intact: one new committed snapshot, readable
+    assert(t.currentVersion() == m.version + 1)
+    assert(t.read(spark).count() > 0)
+  }
+
   test("table runs end-to-end on a non-file Hadoop FileSystem scheme") {
     // register a custom scheme backed by local disk; every metadata and data
     // operation (staging write, publish rename, snapshot CAS, manifest read,
