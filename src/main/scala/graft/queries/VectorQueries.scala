@@ -108,6 +108,33 @@ object VectorQueries {
         .orderBy("bucket")
     }),
 
+    "d9_embed_neardup" -> ((s, d) => {
+      // embedding-cosine near-duplicate detection (the dedup-family member
+      // over vectors): candidate pairs from the multi-table LSH bucket
+      // equijoin (NOT all-pairs), exact integer-cosine verify, top-20 most
+      // similar pairs. The pair list feeds DedupClusters for survivor
+      // assignment (OperatorsSpec) — same pipeline shape as d5/d7 text
+      // near-dup but over the embedding space.
+      val e = embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"), idot(col("q"), col("q")).as("nrm"),
+          array((0 until lshTables).map(t =>
+            lshBucket(col("q"), t * lshBitsPerTable, lshBitsPerTable)): _*)
+            .as("buckets"))
+      val tabbed = e.select(col("vec_id"), col("q"), col("nrm"),
+        posexplode(col("buckets")))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
+      val pairs = tabbed.as("a").join(tabbed.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(idot(col("a.q"), col("b.q")).cast("double") /
+            sqrt(col("a.nrm").cast("double") * col("b.nrm").cast("double")),
+            6).as("cosine"))
+        .dropDuplicates("vec_a", "vec_b") // union across tables
+      pairs.orderBy(desc("cosine"), asc("vec_a"), asc("vec_b")).limit(20)
+    }),
+
     "v4_lsh_knn" -> ((s, d) => {
       // ANN retrieval end-to-end (the 100 TB shape): candidate generation is
       // a BUCKET EQUIJOIN per LSH table ((tbl, bucket) exploded — one
@@ -198,6 +225,39 @@ object VectorQueries {
          b AS (SELECT vec_id, ${bucketSql("qv", 0, 8)} AS bucket FROM q)
          SELECT bucket, count(*) AS n FROM b
          GROUP BY bucket ORDER BY bucket""",
+    "d9_embed_neardup" ->
+      s"""WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, qv,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nrm
+           FROM q),
+         tb AS (${(0 until lshTables).map(t =>
+        s"""SELECT vec_id, $t AS tbl,
+              ${bucketSql("qv", t * lshBitsPerTable, lshBitsPerTable)} AS bkt
+            FROM q""").mkString("\n           UNION ALL\n           ")}),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM tb a JOIN tb b
+             ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         sim AS (
+           SELECT c.vec_a, c.vec_b,
+                  round(
+                    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 65),
+                        i -> ea.qv[CAST(i AS INT)] * eb.qv[CAST(i AS INT)])),
+                      (a, b) -> a + b) AS DOUBLE)
+                    / sqrt(CAST(ea.nrm AS DOUBLE) * CAST(eb.nrm AS DOUBLE)),
+                    6) AS cosine
+           FROM cand c
+           JOIN e ea ON ea.vec_id = c.vec_a
+           JOIN e eb ON eb.vec_id = c.vec_b)
+         SELECT vec_a, vec_b, cosine FROM sim
+         ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20""",
     "v4_lsh_knn" ->
       s"""WITH q AS (
            SELECT vec_id,

@@ -156,6 +156,29 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("embedding near-dup pairs cluster to min-id survivors (d9 end-to-end)") {
+    import graft.operators.DedupClusters
+    // d9's top LSH-candidate pairs feed connected components: every vector
+    // in a cluster maps to the cluster's min id — the dedup survivor rule.
+    val pairs = SparkEntry.queries("d9_embed_neardup")(
+      spark, "/root/testdata/sf0.001")
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = DedupClusters.connectedComponents(pairs)
+    val byNode = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNode.nonEmpty)
+    // survivor is a member of its own cluster and the minimum of it
+    val members = byNode.groupBy(_._2).map { case (s, m) => s -> m.keys.toSet }
+    members.foreach { case (survivor, nodes) =>
+      assert(nodes.contains(survivor) && survivor == nodes.min,
+        s"survivor $survivor must be the min of $nodes")
+    }
+    // transitivity: both endpoints of every pair share a survivor
+    pairs.collect().foreach { r =>
+      assert(byNode(r.getLong(0)) == byNode(r.getLong(1)))
+    }
+  }
+
   test("approx sketches stay within tolerance of exact answers") {
     val e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     val approx = e.groupBy("event_type")
