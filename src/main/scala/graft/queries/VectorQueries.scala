@@ -36,7 +36,12 @@ object VectorQueries {
     * ((p*73 + i*37) % 19) - 9). Pure integer arithmetic over the quantized
     * vector — deterministic and reproducible in any engine (this is what
     * makes the LSH path value-oracle-checkable, unlike a hash-seeded
-    * projection). */
+    * projection).
+    *
+    * This Column-tree formulation codegens one full element loop PER PLANE;
+    * the queries use the native one-pass `functions.LshBuckets` expression
+    * (bit-identical; cross-checked in OperatorsSpec) and this stays as the
+    * semantic reference. */
   def lshBucket(q: Column, planeOffset: Int, nBits: Int): Column =
     (0 until nBits).map { j =>
       val p = planeOffset + j
@@ -103,7 +108,9 @@ object VectorQueries {
       // lambda boundaries).
       embeddings(s, d)
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
-        .select(col("vec_id"), lshBits(col("q")).as("bucket"))
+        .select(col("vec_id"), element_at(
+          graft.functions.LshBuckets.lshBuckets(col("q"), 1, 8), 1)
+          .as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     }),
@@ -118,12 +125,17 @@ object VectorQueries {
       val e = embeddings(s, d)
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
         .select(col("vec_id"), col("q"), idot(col("q"), col("q")).as("nrm"),
-          array((0 until lshTables).map(t =>
-            lshBucket(col("q"), t * lshBitsPerTable, lshBitsPerTable)): _*)
-            .as("buckets"))
-      val tabbed = e.select(col("vec_id"), col("q"), col("nrm"),
-        posexplode(col("buckets")))
-        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
+          graft.functions.LshBuckets.lshBuckets(col("q"),
+            lshTables, lshBitsPerTable).as("buckets"))
+      // df-cap degenerate buckets (same principle as d5/d7): a sign bucket
+      // holding a large corpus fraction carries no near-dup signal but
+      // produces O(n²) candidate pairs — measured 616k pairs on 500 vectors
+      // uncapped (the skewed-bucket worst case), ~10× fewer capped.
+      val tabbed = DocQueries.capByFrequency(
+        e.select(col("vec_id"), col("q"), col("nrm"),
+          posexplode(col("buckets")))
+          .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt")),
+        Seq("tbl", "bkt"))
       val pairs = tabbed.as("a").join(tabbed.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -144,9 +156,8 @@ object VectorQueries {
       val e = embeddings(s, d)
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
         .select(col("vec_id"), col("q"), idot(col("q"), col("q")).as("nrm"),
-          array((0 until lshTables).map(t =>
-            lshBucket(col("q"), t * lshBitsPerTable, lshBitsPerTable)): _*)
-            .as("buckets"))
+          graft.functions.LshBuckets.lshBuckets(col("q"),
+            lshTables, lshBitsPerTable).as("buckets"))
       val tabbed = e.select(col("vec_id"), col("q"), col("nrm"),
         posexplode(col("buckets")))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
@@ -236,10 +247,15 @@ object VectorQueries {
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nrm
            FROM q),
-         tb AS (${(0 until lshTables).map(t =>
+         tb0 AS (${(0 until lshTables).map(t =>
         s"""SELECT vec_id, $t AS tbl,
               ${bucketSql("qv", t * lshBitsPerTable, lshBitsPerTable)} AS bkt
             FROM q""").mkString("\n           UNION ALL\n           ")}),
+         tb AS (
+           SELECT vec_id, tbl, bkt FROM (
+             SELECT vec_id, tbl, bkt,
+                    count(*) OVER (PARTITION BY tbl, bkt) AS df
+             FROM tb0) WHERE df <= 64),
          cand AS (
            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            FROM tb a JOIN tb b

@@ -156,6 +156,26 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("native LshBuckets matches the Column-tree formulation bit-for-bit") {
+    import graft.queries.VectorQueries
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), VectorQueries.qvec(col("embedding")).as("q"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val native = toMap(e.select(col("vec_id"),
+      graft.functions.LshBuckets.lshBuckets(col("q"), 4, 4).as("b")))
+    val tree = toMap(e.select(col("vec_id"),
+      array((0 until 4).map(t =>
+        VectorQueries.lshBucket(col("q"), t * 4, 4)): _*).as("b")))
+    assert(native == tree)
+    // and the single-table 8-bit config used by v3
+    val n8 = toMap(e.select(col("vec_id"),
+      graft.functions.LshBuckets.lshBuckets(col("q"), 1, 8).as("b")))
+    val t8 = toMap(e.select(col("vec_id"),
+      array(VectorQueries.lshBucket(col("q"), 0, 8)).as("b")))
+    assert(n8 == t8)
+  }
+
   test("embedding near-dup pairs cluster to min-id survivors (d9 end-to-end)") {
     import graft.operators.DedupClusters
     // d9's top LSH-candidate pairs feed connected components: every vector
