@@ -319,7 +319,7 @@ object DocQueries {
     // and re-derives banding, the df cap, and the candidate pairs in SQL.
     "d7_minhash_bands" ->
       """WITH sig AS (
-           SELECT * FROM read_parquet('__AUX__/aux_d7_sig/*.parquet')),
+           SELECT * FROM read_parquet('__AUX__/.aux/d7_sig/*.parquet')),
          banded0 AS (
            SELECT doc_id, 0 AS band,
                   h0 || '_' || h1 || '_' || h2 || '_' || h3 AS bh FROM sig
@@ -345,7 +345,7 @@ object DocQueries {
     // and re-derives the 64-bit vote fingerprint in SQL.
     "d8_simhash" ->
       """WITH th AS (
-           SELECT * FROM read_parquet('__AUX__/aux_d8_tokhash/*.parquet')),
+           SELECT * FROM read_parquet('__AUX__/.aux/d8_tokhash/*.parquet')),
          votes AS (
            SELECT doc_id, bit,
                   sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v

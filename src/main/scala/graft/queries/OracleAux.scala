@@ -20,10 +20,13 @@ object OracleAux {
   /** placeholder oracle SQL uses for the export directory */
   val Placeholder = "__AUX__"
 
-  /** materialize `df` for the oracle when enabled; returns `df` unchanged */
+  /** materialize `df` for the oracle when enabled; returns `df` unchanged.
+    * Exports live under a DOT-prefixed dir so directory globs over the
+    * verify out-dir (driver + dev loop) never mistake them for query
+    * outputs. */
   def export(df: DataFrame, name: String): DataFrame = {
     dir.foreach(d =>
-      df.write.mode("overwrite").parquet(s"$d/aux_$name"))
+      df.write.mode("overwrite").parquet(s"$d/.aux/$name"))
     df
   }
 }
