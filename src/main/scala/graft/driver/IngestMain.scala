@@ -61,6 +61,19 @@ object IngestMain {
         println(f"mode=stream events=${nEvents.toLong} secs=$secs%.2f " +
           f"events_per_sec=${nEvents.toLong / secs}%.0f final_rows=$rows " +
           f"version=${t.currentVersion()}")
+      case "maintain" =>
+        // maintenance pass (CompactionSource analog): verifier-gated compact
+        // (tombstone purge at the safe horizon, one file per bucket) +
+        // snapshot retention.
+        val tableDir = args(1)
+        val keepLast = args.lift(2).map(_.toInt).getOrElse(3)
+        val t = IceTable.create(tableDir)
+        val rep = graft.maintenance.Compaction.compact(spark, t)
+        val (ms, fs) = t.expireSnapshots(keepLast)
+        println(f"mode=maintain version=${rep.version}%d " +
+          f"purged_tombstones=${rep.purgedTombstones}%d " +
+          f"live_rows=${rep.liveRows}%d files=${rep.files}%d " +
+          f"expired_manifests=$ms%d deleted_files=$fs%d")
       case "replay-budgeted" =>
         // rate-controlled admission: a small probe epoch measures ingest
         // rate, then each epoch is sized so its expected duration fits the
@@ -109,7 +122,7 @@ object IngestMain {
           f"final_rows=${t.read(spark).count()}%d version=${t.currentVersion()}%d")
       case other =>
         System.err.println(
-          s"unknown mode '$other'; use replay|stream|replay-budgeted")
+          s"unknown mode '$other'; use replay|stream|replay-budgeted|maintain")
         sys.exit(2)
     } finally spark.stop()
   }

@@ -110,7 +110,9 @@ object ReplayJob {
         (committed.getOrElse(p, Nil) ++
           claims.filter(_.partitionId == p).map(r => (r.lowSeq, r.highSeq))))
         .map { case (lo, hi) => graft.model.OffsetRange(p, lo, hi) }
-    }
+    } ++ committed.keySet.filter(_ >= nLogPartitions).toSeq.sorted
+      .flatMap(p => committed(p).map { case (lo, hi) =>
+        graft.model.OffsetRange(p, lo, hi) }) // never drop a foreign fence
     table.commit(cur.copy(version = cur.version + 1, epochId = -3L,
       offsets = merged, parentVersion = cur.version,
       completeUntilSeq = math.max(cur.completeUntilSeq,

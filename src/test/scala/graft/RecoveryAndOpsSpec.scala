@@ -81,6 +81,16 @@ class RecoveryAndOpsSpec extends SparkSpec {
       logEarliest = 300L, logLatest = 999L, nLogPartitions = 2))
   }
 
+  test("reset with a smaller partition count never drops a foreign fence") {
+    val t = truncatedScenario() // committed on partitions 0..1
+    // operator reconfigures down to 1 log partition; partition 1's committed
+    // intervals must survive in the manifest (they still fence replays)
+    assert(ReplayJob.resetOutOfRange(t, ReplayJob.ResetEarliest,
+      logEarliest = 700L, logLatest = 999L, nLogPartitions = 1))
+    val parts = t.currentManifest().get.offsets.map(_.partitionId).toSet
+    assert(parts == Set(0, 1), s"foreign partition fence dropped: $parts")
+  }
+
   test("completeness watermark: gap blocks it, filling the gap advances it") {
     val t = IceTable.create(tmpDir("cw"), numBuckets = 2)
     // out-of-order: epoch (499, 999] first — origin prefix missing
