@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
  *     scaling efficiency between them (target ≥ 0.8, see BASELINE.md).
  *
  * Knobs: SPARK_GRAFT_BENCH_EVENTS (default 16e6), SPARK_GRAFT_BENCH_EPOCHS
- * (default 4), SPARK_GRAFT_BENCH_REPS (default 3, best-of-k per leg),
+ * (default 2), SPARK_GRAFT_BENCH_REPS (default 3, best-of-k per leg),
  * SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_SKIP_SCALING=1 to skip
  * the scaling legs.
  */

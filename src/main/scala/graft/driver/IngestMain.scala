@@ -82,6 +82,9 @@ object IngestMain {
         val Array(_, tableDir, nEventsS, targetSecsS) = args.take(4)
         val nEvents = nEventsS.toLong
         val target = targetSecsS.toDouble
+        // optional: the upstream produce rate (events/sec) enables the
+        // backlog health signal; batch replays have no producer (0 = off)
+        val produceRate = args.lift(4).map(_.toDouble).getOrElse(0.0)
         val t = IceTable.create(tableDir)
         val spec = LogSpec(nEvents = nEvents)
         import spark.implicits._
@@ -104,16 +107,23 @@ object IngestMain {
           val out = graft.merge.MergeEngine.applyEpoch(spark, t,
             slice(lo, hi), epochId, claimedRange = Some((lo, hi)))
           val secs = (System.nanoTime() - t0) / 1e9
-          tracker.update(0, hi - lo, secs)
+          // fenced (skipped) epochs finish in scan-only time — feeding them
+          // into the EWMA would inflate the rate and oversize real epochs
+          if (!out.skipped) tracker.update(0, hi - lo, secs)
           val st = out.stats
+          val highs = out.manifest.offsets.groupBy(_.partitionId)
+            .map { case (_, rs) => rs.map(_.highSeq).max }
           history += RateControl.EpochHealth(epochId, (hi - lo) / secs,
-            watermarkLagSpread = 0L,
+            watermarkLagSpread =
+              if (highs.isEmpty) 0L else highs.max - highs.min,
             quarantineRate = if (st.rowsExtracted > 0)
               st.rowsQuarantined.toDouble / st.rowsExtracted else 0.0)
-          val health = RateControl.check(history.toSeq, produceRate = 0.0)
+          val health = RateControl.check(history.toSeq, produceRate)
           println(f"epoch=$epochId%d range=($lo%d,$hi%d] secs=$secs%.2f " +
             f"planned_by=${if (epochId == 0) "probe" else "budget"}%s " +
-            f"healthy=${health.healthy}%s")
+            f"skipped=${out.skipped}%s healthy=${health.healthy}%s" +
+            (if (health.reasons.nonEmpty)
+               health.reasons.mkString(" reasons=[", "; ", "]") else ""))
           lo = hi
           epochId += 1
         }

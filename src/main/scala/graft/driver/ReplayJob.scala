@@ -68,14 +68,17 @@ object ReplayJob {
   /** Recovery when committed offsets fall off the retained log — the
     * reference's `reset.on.offset.out.of.range` {earliest, latest, nearest}
     * (gobblin-modules/gobblin-kafka-common/.../KafkaSource.java:103,485-610).
-    * A partition is out of range when its committed high watermark lies
-    * below the log's retained head (events in between were purged before
-    * ingestion and can never arrive):
-    *  - Earliest: resume from the retained head — claim ONLY the purged gap
-    *    `(committedHigh, logEarliest-1]` so the retained backlog re-ingests
-    *    (LWW merge makes any re-pull idempotent) and the completeness /
-    *    purge horizon can advance past the hole.
-    *  - Latest: skip to the tail — claim `(committedHigh, logLatest]`.
+    * A partition is out of range when its committed intervals do NOT cover
+    * everything below the retained head `logEarliest` — any uncovered seq
+    * there was purged before ingestion and can never arrive. That includes
+    * MID-LOG GAPS left by out-of-order segment arrival, not just the region
+    * above the top watermark: an unclaimed purged gap would otherwise stall
+    * the completeness/purge horizon forever.
+    *  - Earliest: resume from the retained head — claim `(-1, logEarliest-1]`
+    *    (normalize merges it with what was already committed), so the
+    *    retained backlog re-ingests (LWW makes re-pulls idempotent) and the
+    *    completeness / purge horizon can advance past every hole.
+    *  - Latest: skip to the tail — claim `(-1, logLatest]`.
     *  - Nearest: snap to the nearest valid offset — below range that is the
     *    retained head (== Earliest here; a high watermark beyond the tail is
     *    already valid, nothing to do).
@@ -93,15 +96,17 @@ object ReplayJob {
     val committed = MergeEngine.committedIntervals(Some(cur))
     val claims: Seq[graft.model.OffsetRange] =
       (0 until nLogPartitions).flatMap { p =>
-        val hiCommitted = graft.merge.Intervals.maxHigh(
-          committed.getOrElse(p, Nil))
-        val base = if (hiCommitted == Long.MinValue) -1L else hiCommitted
-        if (base + 1 >= logEarliest) Nil // in range: nothing purged unseen
+        // contiguous-from-origin coverage; anything below logEarliest not
+        // inside it is purged-and-unobserved
+        val originHigh = graft.merge.Intervals
+          .normalize(committed.getOrElse(p, Nil))
+          .headOption.collect { case (-1L, hi) => hi }.getOrElse(-1L)
+        if (originHigh + 1 >= logEarliest) Nil // full prefix already fenced
         else policy match {
           case ResetEarliest | ResetNearest =>
-            Seq(graft.model.OffsetRange(p, base, logEarliest - 1))
+            Seq(graft.model.OffsetRange(p, -1L, logEarliest - 1))
           case ResetLatest =>
-            Seq(graft.model.OffsetRange(p, base, logLatest))
+            Seq(graft.model.OffsetRange(p, -1L, logLatest))
         }
       }
     if (claims.isEmpty) return false
@@ -164,7 +169,10 @@ object ReplayJob {
           writeMetrics(spark, d, epochId, secs, out)
         }
       }
-      viewName.foreach(n => if (!out.skipped) table.registerView(spark, n))
+      // register even on fenced epochs: a pure replay still has committed
+      // state the caller asked to be queryable by name
+      viewName.foreach(n =>
+        if (table.currentVersion() >= 0) table.registerView(spark, n))
       EpochReport(epochId, lo, hi, out.skipped, out.stats)
     }
   }

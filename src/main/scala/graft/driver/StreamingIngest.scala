@@ -59,7 +59,8 @@ object StreamingIngest {
             ReplayJob.writeMetrics(spark, d, batchId, secs, out)
           }
         }
-        viewName.foreach(n => if (!out.skipped) table.registerView(spark, n))
+        viewName.foreach(n =>
+          if (table.currentVersion() >= 0) table.registerView(spark, n))
         ()
       }
       .start()

@@ -27,6 +27,8 @@ import java.io.ByteArrayOutputStream
  */
 object AvroEnvelope {
 
+  // `content` is nullable: a legal delete event carries no content (the
+  // row-policy contract is op == 'd' || content IS NOT NULL)
   val schemaJson: String =
     """{"type":"record","name":"ChangeEvent","namespace":"graft","fields":[
       |{"name":"op","type":"string"},
@@ -35,7 +37,8 @@ object AvroEnvelope {
       |{"name":"path","type":"string"},
       |{"name":"commit","type":"string"},
       |{"name":"lang","type":"string"},
-      |{"name":"content","type":"string"}]}""".stripMargin
+      |{"name":"content","type":["null","string"],"default":null}]}"""
+      .stripMargin
 
   lazy val schema: Schema = new Schema.Parser().parse(schemaJson)
 
@@ -46,7 +49,7 @@ object AvroEnvelope {
     StructField("path", StringType, nullable = false),
     StructField("commit", StringType, nullable = false),
     StructField("lang", StringType, nullable = false),
-    StructField("content", StringType, nullable = false)))
+    StructField("content", StringType, nullable = true)))
 
   private val stringFields = Array(0, 2, 3, 4, 5, 6) // struct ordinals
 
@@ -59,7 +62,8 @@ object AvroEnvelope {
     rec.put("path", row.getUTF8String(3).toString)
     rec.put("commit", row.getUTF8String(4).toString)
     rec.put("lang", row.getUTF8String(5).toString)
-    rec.put("content", row.getUTF8String(6).toString)
+    rec.put("content",
+      if (row.isNullAt(6)) null else row.getUTF8String(6).toString)
     val out = new ByteArrayOutputStream(256)
     val enc = EncoderFactory.get().directBinaryEncoder(out, null)
     new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
@@ -75,7 +79,8 @@ object AvroEnvelope {
     vals(1) = rec.get("seq").asInstanceOf[Long]
     val names = Array("op", null, "repo", "path", "commit", "lang", "content")
     stringFields.foreach { i =>
-      vals(i) = UTF8String.fromString(rec.get(names(i)).toString)
+      val v = rec.get(names(i))
+      vals(i) = if (v == null) null else UTF8String.fromString(v.toString)
     }
     new GenericInternalRow(vals)
   }

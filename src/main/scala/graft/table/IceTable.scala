@@ -78,18 +78,22 @@ final class IceTable(val dir: String, val numBuckets: Int) {
 
   // ---- snapshot / manifest IO --------------------------------------------
 
-  private val SnapName = """snap-(\d{8})\.json""".r
+  // %08d pads to AT LEAST 8 digits — match 8+, or versions past 1e8 would
+  // become invisible to currentVersion
+  private val SnapName = """snap-(\d{8,})\.json""".r
+
+  /** all committed snapshot versions, one metadata listing */
+  private def listVersions(): Seq[Long] = {
+    val f = fs
+    if (!f.exists(metaDir)) return Seq.empty
+    f.listStatus(metaDir).iterator.map(_.getPath.getName).collect {
+      case SnapName(v) => v.toLong
+    }.toSeq.sorted
+  }
 
   /** Current version = largest committed snapshot file (rename-published, so
     * a listed snap is always complete). -1 when the table is empty. */
-  def currentVersion(): Long = {
-    val f = fs
-    if (!f.exists(metaDir)) return -1L
-    f.listStatus(metaDir).iterator.map(_.getPath.getName).foldLeft(-1L) {
-      case (mx, SnapName(v)) => math.max(mx, v.toLong)
-      case (mx, _) => mx
-    }
-  }
+  def currentVersion(): Long = listVersions().foldLeft(-1L)(math.max)
 
   def currentManifest(): Option[EpochManifest] = {
     val v = currentVersion()
@@ -169,13 +173,13 @@ final class IceTable(val dir: String, val numBuckets: Int) {
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1)
     val f = fs
-    val cur = currentVersion()
-    if (cur < 0) return (0, 0)
+    val versions = listVersions() // ONE metadata listing, not O(maxVersion)
+    if (versions.isEmpty) return (0, 0)
+    val cur = versions.max
     val cutoff = cur - keepLast + 1
-    val expired = (0L until cutoff).filter(v => f.exists(snapPath(v)))
+    val expired = versions.filter(_ < cutoff)
     if (expired.isEmpty) return (0, 0)
-    val retainedFiles: Set[String] = (cutoff to cur)
-      .filter(v => f.exists(snapPath(v)))
+    val retainedFiles: Set[String] = versions.filter(_ >= cutoff)
       .flatMap(v => readManifest(v).files.map(_.path)).toSet
     val expiredFiles: Set[String] = expired
       .flatMap(v => readManifest(v).files.map(_.path)).toSet

@@ -81,6 +81,26 @@ class RecoveryAndOpsSpec extends SparkSpec {
       logEarliest = 300L, logLatest = 999L, nLogPartitions = 2))
   }
 
+  test("reset fences purged MID-LOG gaps, not just the top watermark") {
+    // out-of-order segment arrival: committed [(-1,100], (300,499]] on each
+    // partition; retention then purges below seq 350. Seqs 101..299 can
+    // never arrive — earliest must fence them (else the completeness/purge
+    // horizon stalls forever), even though maxHigh(499) is past the head.
+    val t = IceTable.create(tmpDir("midgap"), numBuckets = 2)
+    MergeEngine.applyEpoch(spark, t, slice(-1, 100), 0, nLogPartitions = 2,
+      claimedRange = Some((-1L, 100L)))
+    MergeEngine.applyEpoch(spark, t, slice(300, 499), 1, nLogPartitions = 2,
+      claimedRange = Some((300L, 499L)))
+    assert(t.currentManifest().get.completeUntilSeq == 100L)
+    assert(ReplayJob.resetOutOfRange(t, ReplayJob.ResetEarliest,
+      logEarliest = 350L, logLatest = 999L, nLogPartitions = 2))
+    val m = t.currentManifest().get
+    assert(m.offsets.forall(r => r.lowSeq == -1L && r.highSeq == 499L),
+      s"gap must merge into one fenced prefix: ${m.offsets}")
+    assert(m.completeUntilSeq == 499L,
+      "completeness must advance past the purged hole")
+  }
+
   test("reset with a smaller partition count never drops a foreign fence") {
     val t = truncatedScenario() // committed on partitions 0..1
     // operator reconfigures down to 1 log partition; partition 1's committed
@@ -221,5 +241,13 @@ class RecoveryAndOpsSpec extends SparkSpec {
     assert(afterSecond == t.read(spark).count())
     val want = OracleFold.fold(ChangeLogGen.generateLocal(spec)).size
     assert(afterSecond == want, "view must reflect the LATEST snapshot")
+    // a PURE replay (every epoch fenced) must still register the view
+    spark.catalog.dropTempView("graft_repo_files")
+    ReplayJob.run(spark, t, id => { val (_, lo, hi) = ranges(id.toInt)
+      slice(lo, hi) }, ranges, nLogPartitions = 2,
+      viewName = Some("graft_repo_files"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft_repo_files")
+      .head().getLong(0) == want,
+      "fenced replay must still make committed state queryable by name")
   }
 }

@@ -49,7 +49,10 @@ class TransformsSpec extends SparkSpec {
     import graft.model.ChangeEvent
     val events = Seq(
       ChangeEvent("i", 7L, "r/a", "src/x.scala", "c" * 40, "scala", "v = 1"),
-      ChangeEvent("d", 9L, "r/b", "doc/y.md", "d" * 40, "md", ""))
+      ChangeEvent("d", 9L, "r/b", "doc/y.md", "d" * 40, "md", ""),
+      // a LEGAL delete may carry null content (row-policy contract:
+      // op == 'd' || content IS NOT NULL) — must serde, not NPE
+      ChangeEvent("d", 11L, "r/c", "gone.rs", "e" * 40, "rust", null))
     val in = events.toDS().toDF()
     // encode -> decode is the identity on the envelope
     val roundTrip = Transform.chain(
