@@ -98,6 +98,43 @@ class OutOfOrderSpec extends SparkSpec {
       ("r", "p2") -> OracleFold.sha256Hex("v2")))
   }
 
+  test("property: random slicing + random order + duplication converge") {
+    // adversarial delivery: the log is cut at RANDOM epoch boundaries, the
+    // epochs are applied in a RANDOM order, and a random subset is applied
+    // TWICE (at-least-once). Fence + LWW must converge to the oracle state
+    // for every draw.
+    val sp = LogSpec(seed = 91L, nEvents = 1200, nRepos = 5,
+      nPathsPerRepo = 10, pDelete = 0.12)
+    val want = OracleFold.fold(ChangeLogGen.generateLocal(sp))
+      .map { case (k, v) => k -> v.contentSha }
+    val cdf = ChangeLogGen.zipfCdf(sp.nRepos, sp.zipfExponent)
+    (0 until 4).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      // random boundaries: -1 < b1 < ... < top
+      val cuts = (Seq(-1L, sp.nEvents - 1) ++
+        Seq.fill(rnd.nextInt(5) + 2)(rnd.nextLong(sp.nEvents - 1)))
+        .distinct.sorted
+      val ranges = cuts.sliding(2).zipWithIndex.collect {
+        case (Seq(lo, hi), i) if lo < hi => (i.toLong, lo, hi)
+      }.toSeq
+      val order = rnd.shuffle(ranges ++ ranges.filter(_ => rnd.nextBoolean()))
+      val t = IceTable.create(tmpDir(s"prop$trial"), numBuckets = 2)
+      order.zipWithIndex.foreach { case ((_, lo, hi), i) =>
+        MergeEngine.applyEpoch(spark, t,
+          spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(sp, cdf, s)),
+          epochId = i.toLong, nLogPartitions = 2,
+          claimedRange = Some((lo, hi)))
+      }
+      assert(shaState2(t, sp) == want, s"trial $trial diverged (order=$order)")
+      assert(t.currentManifest().get.completeUntilSeq == sp.nEvents - 1,
+        s"trial $trial: completeness must reach the top once all gaps fill")
+    }
+  }
+
+  private def shaState2(t: IceTable, sp: LogSpec): Map[(String, String), String] =
+    t.read(spark).select("repo", "path", "contentSha").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
   test("interval algebra: normalize merges touching ranges") {
     assert(Intervals.normalize(Seq((10L, 20L), (-1L, 10L))) == Seq((-1L, 20L)))
     assert(Intervals.normalize(Seq((5L, 8L), (0L, 3L))) == Seq((0L, 3L), (5L, 8L)))
