@@ -111,11 +111,9 @@ object IngestMain {
           // into the EWMA would inflate the rate and oversize real epochs
           if (!out.skipped) tracker.update(0, hi - lo, secs)
           val st = out.stats
-          val highs = out.manifest.offsets.groupBy(_.partitionId)
-            .map { case (_, rs) => rs.map(_.highSeq).max }
           history += RateControl.EpochHealth(epochId, (hi - lo) / secs,
             watermarkLagSpread =
-              if (highs.isEmpty) 0L else highs.max - highs.min,
+              graft.merge.MergeEngine.lagSpread(out.manifest.offsets),
             quarantineRate = if (st.rowsExtracted > 0)
               st.rowsQuarantined.toDouble / st.rowsExtracted else 0.0)
           val health = RateControl.check(history.toSeq, produceRate)

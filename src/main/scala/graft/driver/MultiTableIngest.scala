@@ -47,7 +47,7 @@ object MultiTableIngest {
       val out =
         try Right(MergeEngine.applyEpoch(spark, r.table, slice, epochId,
           nLogPartitions, claimedRange = claimedRange))
-        catch { case e: Throwable => Left(e) }
+        catch { case scala.util.control.NonFatal(e) => Left(e) }
       DatasetOutcome(r.name, out)
     }
     finally { cached.unpersist(); () }

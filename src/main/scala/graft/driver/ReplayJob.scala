@@ -110,14 +110,8 @@ object ReplayJob {
         }
       }
     if (claims.isEmpty) return false
-    val merged = (0 until nLogPartitions).flatMap { p =>
-      graft.merge.Intervals.normalize(
-        (committed.getOrElse(p, Nil) ++
-          claims.filter(_.partitionId == p).map(r => (r.lowSeq, r.highSeq))))
-        .map { case (lo, hi) => graft.model.OffsetRange(p, lo, hi) }
-    } ++ committed.keySet.filter(_ >= nLogPartitions).toSeq.sorted
-      .flatMap(p => committed(p).map { case (lo, hi) =>
-        graft.model.OffsetRange(p, lo, hi) }) // never drop a foreign fence
+    val merged = graft.merge.Intervals.mergeClaims(committed, nLogPartitions,
+      p => claims.filter(_.partitionId == p).map(r => (r.lowSeq, r.highSeq)))
     table.commit(cur.copy(version = cur.version + 1, epochId = -3L,
       offsets = merged, parentVersion = cur.version,
       completeUntilSeq = math.max(cur.completeUntilSeq,
@@ -184,9 +178,7 @@ object ReplayJob {
                    out: MergeEngine.EpochOutcome): Unit = {
     import spark.implicits._
     val s = out.stats
-    val highs = out.manifest.offsets.groupBy(_.partitionId)
-      .map { case (_, rs) => rs.map(_.highSeq).max }
-    val lag = if (highs.isEmpty) 0L else highs.max - highs.min
+    val lag = MergeEngine.lagSpread(out.manifest.offsets)
     Seq((epochId, secs,
       if (secs > 0) s.rowsExtracted / secs else 0.0,
       if (s.rowsExtracted > 0)
@@ -244,6 +236,7 @@ object ReplayJob {
     import spark.implicits._
     val bounds = spark.read.parquet(logDir)
       .agg(min($"seq").as("lo"), max($"seq").as("hi")).head()
+    if (bounds.isNullAt(0)) return Seq.empty // empty log: nothing to replay
     val (loAll, hiAll) = (bounds.getLong(0), bounds.getLong(1))
     val n = hiAll - loAll + 1
     val per = math.max(1L, n / nEpochs)

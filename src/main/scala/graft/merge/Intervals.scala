@@ -24,6 +24,22 @@ object Intervals {
   def maxHigh(xs: Seq[(Long, Long)]): Long =
     if (xs.isEmpty) Long.MinValue else xs.map(_._2).max
 
+  /** Merge per-partition claims into the committed interval sets, keeping
+    * one normalized interval list per partition 0..nLogPartitions-1 and
+    * carrying forward (never dropping) committed intervals of partitions
+    * OUTSIDE that range — a foreign fence must survive a reconfigured-down
+    * job. Shared by the epoch commit and out-of-range reset paths. */
+  def mergeClaims(committed: Map[Int, Seq[(Long, Long)]],
+                  nLogPartitions: Int,
+                  claimsFor: Int => Seq[(Long, Long)])
+      : Seq[graft.model.OffsetRange] =
+    (0 until nLogPartitions).flatMap { p =>
+      normalize(committed.getOrElse(p, Nil) ++ claimsFor(p))
+        .map { case (lo, hi) => graft.model.OffsetRange(p, lo, hi) }
+    } ++ committed.keySet.filter(_ >= nLogPartitions).toSeq.sorted
+      .flatMap(p => committed(p).map { case (lo, hi) =>
+        graft.model.OffsetRange(p, lo, hi) })
+
   /** Largest S such that EVERY partition's committed intervals contiguously
     * cover (-1, S] from the log origin; Long.MinValue if any partition has a
     * gap at (or a first run not anchored to) the origin. This is both the

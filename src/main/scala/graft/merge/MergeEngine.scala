@@ -84,6 +84,18 @@ object MergeEngine {
   def committedHighs(m: Option[EpochManifest]): Map[Int, Long] =
     committedIntervals(m).map { case (p, ivs) => p -> Intervals.maxHigh(ivs) }
 
+  /** per-partition high watermarks of an offset list */
+  def partitionHighs(offsets: Seq[OffsetRange]): Map[Int, Long] =
+    offsets.groupBy(_.partitionId)
+      .map { case (p, rs) => p -> rs.map(_.highSeq).max }
+
+  /** max-min spread of partition highs (the watermark-lag signal shared by
+    * lineage, ops metrics, and the health check) */
+  def lagSpread(offsets: Seq[OffsetRange]): Long = {
+    val highs = partitionHighs(offsets).values
+    if (highs.isEmpty) 0L else highs.max - highs.min
+  }
+
   /**
    * Apply one epoch of change events to `table`. Idempotent: events inside
    * an already-committed offset interval are filtered out; an epoch whose
@@ -118,6 +130,14 @@ object MergeEngine {
     val parent = table.currentManifest()
     val parentVersion = parent.map(_.version).getOrElse(-1L)
     val committedIv = committedIntervals(parent)
+    // fail fast on a partition-universe mismatch: every commit claims
+    // intervals on ALL partitions 0..n-1, so growing n would leave the new
+    // partitions never origin-anchored and silently FREEZE the completeness
+    // and tombstone-purge horizons forever; shrinking strands the old ones.
+    require(committedIv.isEmpty ||
+      committedIv.keySet == (0 until nLogPartitions).toSet,
+      s"nLogPartitions=$nLogPartitions does not match the table's committed " +
+        s"partition universe (${committedIv.keySet.toSeq.sorted.mkString(",")})")
 
     // --- 1. converter chain + quality gate (Converter/RowLevelPolicy) ----
     val withPart = pipeline(rawEvents.toDF())
@@ -220,48 +240,51 @@ object MergeEngine {
     //
     //  - Declared (batch replay knows its slice): one interval (lo, hi].
     //  - Segment (unknown batch provenance, e.g. a file-stream micro-batch):
-    //    one interval per input FILE, (fileMin-1, fileMax]. A log segment
-    //    file contains ALL events of its seq range (contiguity property of
-    //    binlog/Kafka-style segments, guaranteed by ChangeLogGen.writeLog's
-    //    repartitionByRange), so each file range is safe to claim — but the
-    //    GAP between two non-adjacent files in the same batch is NOT
-    //    claimed, which is exactly what makes out-of-order multi-file
-    //    batches safe (a min/max-of-batch claim would fence the gap's
-    //    events, silently dropping them when their file arrives later).
+    //    the EXACT contiguous runs of the batch's OBSERVED valid seqs — a
+    //    gap inside the batch is NOT claimed (claiming it would fence its
+    //    events when they arrive later: silent data loss), while claims
+    //    include quarantined rows' seqs (quarantine is terminal; leaving
+    //    them unclaimed would stall the completeness/purge horizon on a
+    //    permanent gap). Runs are found distributedly: a seq is a run start
+    //    (end) iff seq-1 (seq+1) is absent — two anti-joins over the
+    //    distinct-seq column; only the run boundaries reach the driver.
     val claimedIvs: Seq[(Long, Long)] = claimedRange match {
       case Some((lo, hi)) => Seq((lo, hi))
       case None =>
-        fresh.groupBy(input_file_name().as("_f"))
-          .agg(min($"seq").as("lo"), max($"seq").as("hi"))
-          .collect()
-          .map(r => (r.getAs[Long]("lo") - 1, r.getAs[Long]("hi"))).toSeq
+        val obs = withPart.filter($"seq".isNotNull && $"seq" >= 0)
+          .select($"seq").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val starts = obs.as("a").join(obs.as("b"),
+              col("a.seq") === col("b.seq") + 1, "left_anti")
+            .collect().map(_.getLong(0)).sorted
+          val ends = obs.as("a").join(obs.as("b"),
+              col("a.seq") === col("b.seq") - 1, "left_anti")
+            .collect().map(_.getLong(0)).sorted
+          starts.zip(ends).map { case (s, e) => (s - 1, e) }.toSeq
+        } finally { obs.unpersist(); () }
     }
     def mergedOffsets: Seq[OffsetRange] =
-      (0 until nLogPartitions).flatMap { p =>
-        val ivs = Intervals.normalize(
-          committedIv.getOrElse(p, Nil) ++ claimedIvs)
-        ivs.map { case (lo, hi) => OffsetRange(p, lo, hi) }
-      } ++ committedIv.keySet.filter(_ >= nLogPartitions).toSeq.sorted
-        .flatMap(p => committedIv(p).map { case (lo, hi) =>
-          OffsetRange(p, lo, hi) })
+      Intervals.mergeClaims(committedIv, nLogPartitions, _ => claimedIvs)
 
     if (freshCount == 0) {
-      val st = EpochStats(0, quarantined, 0, 0, 0, 0)
-      val alreadyCovered = claimedRange.forall { case (lo, hi) =>
-        (0 until nLogPartitions).forall(p =>
-          committedIv.get(p).exists(ivs =>
-            Intervals.normalize(ivs ++ Seq((lo, hi))) == ivs))
+      // everything was fenced or quarantined; counters must still reconcile
+      // (extracted == quarantined here) and any NEW claims (a declared empty
+      // slice, or quarantined-only segment runs) must persist so the fence
+      // and completeness horizon advance — gated like every commit.
+      val st = EpochStats(quarantined, quarantined, 0, 0, 0, 0)
+      val mo = mergedOffsets
+      val unchanged = parent match {
+        case Some(pm) => pm.offsets.toSet == mo.toSet
+        case None => mo.isEmpty || claimedIvs.isEmpty
       }
-      if (alreadyCovered || parent.isEmpty && claimedRange.isEmpty) {
-        // fully fenced epoch (pure replay) — commit nothing.
+      if (unchanged) {
+        // pure replay of fenced (and/or re-quarantined) data — no commit.
         val m = parent.getOrElse(
           EpochManifest(-1L, epochId, SchemaRegistry.baseSchemaId, Nil, Nil,
             st, -1L))
         return EpochOutcome(m, skipped = true, st)
       }
-      // genuinely empty slice with a declared range: metadata-only commit
-      // persisting the claimed offsets (empty-WorkUnit analog).
-      val mo = mergedOffsets
+      graft.pipeline.TaskPolicies.enforce(taskPolicies, st)
       val complete0 = math.max(
         parent.map(_.completeUntilSeq).getOrElse(Long.MinValue),
         Intervals.contiguousOriginPrefix(mo))
@@ -425,8 +448,7 @@ object MergeEngine {
                    prev: Map[Int, Long], cur: Seq[OffsetRange],
                    stats: EpochStats): Unit = {
     import spark.implicits._
-    val highs = cur.groupBy(_.partitionId)
-      .map { case (p, rs) => p -> rs.map(_.highSeq).max }
+    val highs = partitionHighs(cur)
     val globalHigh = highs.values.foldLeft(Long.MinValue)(math.max)
     val rows = highs.toSeq.sortBy(_._1).map { case (p, hi) =>
       LineageRow(epochId, p, prev.getOrElse(p, -1L), hi,

@@ -65,8 +65,9 @@ final class IceTable(val dir: String, val numBuckets: Int) {
   /** Hadoop conf: the active Spark session's (so `spark.hadoop.*` and
     * runtime-registered filesystems apply), else vanilla. */
   private def hconf: Configuration =
-    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration()) // spark.hadoop.* even off-thread
   private def fs: FileSystem = root.getFileSystem(hconf)
 
   def init(): this.type = {

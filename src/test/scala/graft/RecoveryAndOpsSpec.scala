@@ -111,6 +111,63 @@ class RecoveryAndOpsSpec extends SparkSpec {
     assert(parts == Set(0, 1), s"foreign partition fence dropped: $parts")
   }
 
+  test("segment claims cover quarantined seqs: horizon never stalls on them") {
+    // a quarantined row's seq is terminal (it will never apply) — the claim
+    // must include it, or completeness/purge would stall on a permanent gap
+    val t = IceTable.create(tmpDir("qclaim"), numBuckets = 2)
+    val events = (0 until 100).map { i =>
+      // seq 50 is malformed (null content on an update) -> quarantined
+      ChangeEvent("u", i.toLong, "r", s"p${i % 7}", f"c$i%040d", "scala",
+        if (i == 50) null else s"v$i")
+    }
+    val out = MergeEngine.applyEpoch(spark, t, events.toDS(), 0,
+      nLogPartitions = 2, quarantineDir = Some(tmpDir("qc")))
+    assert(out.stats.rowsQuarantined == 1)
+    val m = t.currentManifest().get
+    assert(m.offsets.forall(r => r.lowSeq == -1L && r.highSeq == 99L),
+      s"one contiguous claim incl. the quarantined seq: ${m.offsets}")
+    assert(m.completeUntilSeq == 99L)
+
+    // an ALL-quarantined segment batch still commits its claims, with
+    // reconciling counters, through the task-policy gate
+    val bad = (100 until 110).map(i =>
+      ChangeEvent("u", i.toLong, "r", s"p$i", f"c$i%040d", "scala", null))
+    val out2 = MergeEngine.applyEpoch(spark, t, bad.toDS(), 1,
+      nLogPartitions = 2, quarantineDir = Some(tmpDir("qc2")))
+    assert(out2.skipped && out2.stats.rowsExtracted == 10 &&
+      out2.stats.rowsQuarantined == 10)
+    assert(t.currentManifest().get.completeUntilSeq == 109L,
+      "quarantined-only batch must still advance the fence")
+  }
+
+  test("gappy unknown-provenance batch claims only observed runs") {
+    // in-memory batch with seqs {0..4, 100..104}: the gap 5..99 must NOT be
+    // fenced — its events arrive later and must apply
+    val t = IceTable.create(tmpDir("gappy"), numBuckets = 2)
+    val batch = slice(-1, 4).union(slice(99, 104))
+    MergeEngine.applyEpoch(spark, t, batch, 0, nLogPartitions = 2)
+    val ivs = t.currentManifest().get.offsets
+      .filter(_.partitionId == 0).map(r => (r.lowSeq, r.highSeq))
+    assert(ivs == Seq((-1L, 4L), (99L, 104L)),
+      s"exact observed runs only, gap unclaimed: $ivs")
+    // the gap's events arrive later and are applied, not dropped
+    val out = MergeEngine.applyEpoch(spark, t, slice(4, 99), 1,
+      nLogPartitions = 2)
+    assert(!out.skipped && out.stats.rowsApplied + out.stats.deletesApplied +
+      out.stats.dedupDrops + out.stats.staleDrops == 95)
+    val want = OracleFold.fold(ChangeLogGen.generateLocal(spec)
+      .filter(_.seq <= 104)).map { case (k, v) => k -> v.contentSha }
+    assert(sha(t) == want)
+    assert(t.currentManifest().get.completeUntilSeq == 104L)
+  }
+
+  test("partition-universe mismatch fails fast instead of freezing horizons") {
+    val t = truncatedScenario() // committed with nLogPartitions = 2
+    intercept[IllegalArgumentException] {
+      MergeEngine.applyEpoch(spark, t, slice(499, 510), 1, nLogPartitions = 4)
+    }
+  }
+
   test("completeness watermark: gap blocks it, filling the gap advances it") {
     val t = IceTable.create(tmpDir("cw"), numBuckets = 2)
     // out-of-order: epoch (499, 999] first — origin prefix missing
