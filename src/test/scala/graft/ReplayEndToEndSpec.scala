@@ -165,7 +165,9 @@ class ReplayEndToEndSpec extends SparkSpec {
       // listener delivery is async; wait for the epoch-1 merge plan (both
       // sides non-empty -> a real full-outer join over the aligned sides;
       // the target side is the claimed-partitioning scan = ExistingRDD)
-      val deadline = System.currentTimeMillis() + 30000
+      // generous: listener delivery is async and this shared host can stall
+      // for tens of seconds under load (2.4x noise, see BENCH.md)
+      val deadline = System.currentTimeMillis() + 120000
       def planOpt = captured.asScala.find(p =>
         p.contains("FullOuter") && p.contains("ExistingRDD"))
       while (planOpt.isEmpty && System.currentTimeMillis() < deadline)
