@@ -53,6 +53,18 @@ object AvroEnvelope {
 
   private val stringFields = Array(0, 2, 3, 4, 5, 6) // struct ordinals
 
+  // per-thread serde machinery: building a DatumWriter/DatumReader (schema
+  // walk) or a fresh decoder per ROW would dominate the hot codegen path
+  // this expression exists to keep tight
+  private val writerTl =
+    ThreadLocal.withInitial[GenericDatumWriter[GenericRecord]](() =>
+      new GenericDatumWriter[GenericRecord](schema))
+  private val readerTl =
+    ThreadLocal.withInitial[GenericDatumReader[GenericRecord]](() =>
+      new GenericDatumReader[GenericRecord](schema))
+  private val decoderTl =
+    new ThreadLocal[org.apache.avro.io.BinaryDecoder]()
+
   /** static helper shared by interpreted eval and generated code */
   def encodeRow(row: InternalRow): Array[Byte] = {
     val rec = new GenericData.Record(schema)
@@ -66,15 +78,16 @@ object AvroEnvelope {
       if (row.isNullAt(6)) null else row.getUTF8String(6).toString)
     val out = new ByteArrayOutputStream(256)
     val enc = EncoderFactory.get().directBinaryEncoder(out, null)
-    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    writerTl.get().write(rec, enc)
     enc.flush()
     out.toByteArray
   }
 
   /** static helper shared by interpreted eval and generated code */
   def decodeBytes(bytes: Array[Byte]): InternalRow = {
-    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-    val rec = new GenericDatumReader[GenericRecord](schema).read(null, dec)
+    val dec = DecoderFactory.get().binaryDecoder(bytes, decoderTl.get())
+    decoderTl.set(dec)
+    val rec = readerTl.get().read(null, dec)
     val vals = new Array[Any](7)
     vals(1) = rec.get("seq").asInstanceOf[Long]
     val names = Array("op", null, "repo", "path", "commit", "lang", "content")

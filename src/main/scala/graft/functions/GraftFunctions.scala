@@ -9,12 +9,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark-submit (`--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
 object GraftFunctions {
 
-  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
-    "graft_mix64" -> (exprs => Mix64(exprs.head)))
+  private def unary(name: String, mk: Expression => Expression)
+      : Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1,
+      s"$name takes exactly 1 argument, got ${exprs.length}")
+    mk(exprs.head)
+  }
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash64", classOf[SimHash64].getName,
+      unary("graft_simhash64", SimHash64.apply)),
+    ("graft_mix64", classOf[Mix64].getName,
+      unary("graft_mix64", Mix64.apply)))
 
   def register(spark: SparkSession): Unit =
-    all.foreach { case (name, builder) =>
+    all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
@@ -22,10 +31,10 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.all.foreach { case (name, builder) =>
+    GraftFunctions.all.foreach { case (name, className, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[SimHash64].getName, name),
+        new ExpressionInfo(className, name),
         builder))
     }
 }

@@ -24,6 +24,16 @@ case class LshBuckets(child: Expression, nTables: Int, bitsPerTable: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     LshBuckets.compute(input.asInstanceOf[ArrayData], nTables, bitsPerTable)
 

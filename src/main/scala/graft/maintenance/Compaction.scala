@@ -46,7 +46,11 @@ object Compaction {
 
     val raw = table.readRaw(spark)
     val obs = Observation(s"compact-${parent.version}")
-    val purgeable = col("deleted") && col("lastSeq") <= horizon
+    // null-safe: a null `deleted` must count as live AND survive the rewrite
+    // (an un-coalesced filter(!NULL) would drop it while the live counter
+    // kept it, permanently failing the verifier)
+    val purgeable =
+      coalesce(col("deleted"), lit(false)) && col("lastSeq") <= horizon
     val kept = raw
       .observe(obs,
         sum(when(purgeable, 1L).otherwise(0L)).as("purged"),

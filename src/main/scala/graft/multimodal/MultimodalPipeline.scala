@@ -75,12 +75,13 @@ object MultimodalPipeline {
     * repartition so each task holds ~`rowsPerTask` payloads). */
   def pipeline(df: DataFrame, rowsPerTask: Int = 4096): DataFrame = {
     import df.sparkSession.implicits._
-    val n = df.isStreaming match {
-      case true => None
-      case false => Some(math.max(1L, df.count() / rowsPerTask).toInt)
-    }
-    val sized = n.map(df.repartition).getOrElse(df)
-    extractFeatures(sized.as[MediaRow]).toDF()
+    if (df.isStreaming) return extractFeatures(df.as[MediaRow]).toDF()
+    // the sizing count would otherwise recompute the (possibly expensive)
+    // upstream plan a second time for the decode pass — localCheckpoint
+    // materializes it once (blocks are GC-cleaned when unreferenced)
+    val mat = df.localCheckpoint(true)
+    val n = math.max(1L, mat.count() / rowsPerTask).toInt
+    extractFeatures(mat.repartition(n).as[MediaRow]).toDF()
   }
 
   /** build MediaRow inputs from any table with a string payload (testing:

@@ -84,11 +84,17 @@ object Transform {
   def extractEnvelope(payloadField: String,
                       schemaFor: Int => org.apache.spark.sql.types.StructType,
                       schemaIdField: String, knownIds: Seq[Int]): T = df => {
-    // per-batch: decode each schema-id group with its registry schema
-    val ids = knownIds
-    ids.map(id => df.filter(col(schemaIdField) === id)
-        .withColumn("payload", from_json(col(payloadField), schemaFor(id))))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // per-batch: decode each schema-id group with its registry schema.
+    // Rows with an UNKNOWN or null schema id are preserved with a null
+    // payload (downstream row policies quarantine them) — dropping them
+    // would break the counter-reconciliation invariant.
+    require(knownIds.nonEmpty, "extractEnvelope needs at least one schema id")
+    val decoded = knownIds.map(id => df.filter(col(schemaIdField) === id)
+      .withColumn("payload", from_json(col(payloadField), schemaFor(id))))
+    val unknown = df.filter(col(schemaIdField).isNull ||
+      !col(schemaIdField).isin(knownIds.map(i => i: Any): _*))
+      .withColumn("payload", lit(null)) // NullType coerces to any struct
+    (decoded :+ unknown).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Avro BINARY envelope serde (EnvelopePayloadConverter / Avro serde
@@ -122,6 +128,10 @@ object Transform {
  * schedules the branch jobs).
  */
 object Fork {
+  /** When `sink` runs an action on the DataFrame it receives (write/
+    * collect), the per-branch count rides that action as an `Observation` —
+    * one pass per branch. A sink that runs no action falls back to a
+    * separate count() job. */
   final case class Branch(name: String, predicate: Column,
       chain: Transform.T = Transform.identity,
       sink: DataFrame => Unit)
@@ -130,10 +140,17 @@ object Fork {
   def apply(df: DataFrame, branches: Seq[Branch]): Map[String, Long] = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try branches.map { b =>
+      val obs = org.apache.spark.sql.Observation(
+        s"fork-${b.name}-${System.nanoTime()}")
       val routed = b.chain(cached.filter(b.predicate))
-      val cnt = routed.count()
+        .observe(obs, count(lit(1)).as("n"))
       b.sink(routed)
-      b.name -> cnt
+      val n = org.apache.spark.sql.GraftSqlBridge.observationResult(obs)
+        .flatMap(_.get("n")) match {
+        case Some(v) => v.asInstanceOf[Long]
+        case None => routed.count() // no action in the sink
+      }
+      b.name -> n
     }.toMap
     finally { cached.unpersist(); () }
   }

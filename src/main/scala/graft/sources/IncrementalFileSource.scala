@@ -50,16 +50,29 @@ final class IncrementalFileSource(stateDir: String) {
   }
 
   /** list current snapshot (recursive), subtract the ledger, pack into
-    * `nBins`. */
+    * `nBins`. Paths with any hidden component (`_`/`.` prefix — e.g. a
+    * concurrent Spark writer's `_temporary` attempt files) are excluded,
+    * mirroring Spark's own FileIndex rule: pulling an in-flight temp file
+    * would double-ingest it under its final name after the writer commits. */
   def plan(dir: String, nBins: Int,
            pattern: String => Boolean = _.endsWith(".parquet")): Plan = {
     val done = processed()
     val root = new HPath(dir)
     val f = root.getFileSystem(hconf)
+    def visibleUnderRoot(p: HPath): Boolean = {
+      var cur = p
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     val it = f.listFiles(root, true)
     val now = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
-      .filter(s => s.isFile && pattern(s.getPath.toString))
+      .filter(s => s.isFile && pattern(s.getPath.toString) &&
+        visibleUnderRoot(s.getPath))
       .map(s => FileEntry(s.getPath.toString, s.getLen))
       .filterNot(e => done.contains(e.path))
       .toSeq

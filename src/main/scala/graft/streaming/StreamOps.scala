@@ -33,35 +33,65 @@ object StreamOps {
   final case class SessionOut(user_id: Long, startMillis: Long,
       endMillis: Long, nEvents: Int)
 
-  /** Session windows with a processing-timeout: emits a session when the
-    * user is idle past `gapMillis` — custom per-key state the reference's
-    * record-at-a-time model cannot express. */
-  def sessionize(events: Dataset[Event], gapMillis: Long)
+  /** Session windows with an EVENT-TIME idle timeout: a session closes when
+    * a newer event of the same key arrives past `gapMillis`, or when the
+    * stream's watermark passes the session's idle deadline (the timeout
+    * emits the open session and RECLAIMS its state — without it per-key
+    * state would grow forever). Events later than `lateness` are dropped by
+    * the watermark; in-allowance stragglers merge into the open session
+    * without ever moving its bounds backwards (no inverted sessions).
+    * Event-time (not processing-time) timeouts keep the operator
+    * deterministic: emission is driven by the data's own clock. */
+  def sessionize(events: Dataset[Event], gapMillis: Long,
+                 lateness: String = "0 milliseconds")
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    // +1s bookkeeping offset: the stateful late-row filter drops rows with
+    // eventTime <= watermark, and the watermark starts at 0 — an offset-less
+    // t=0 event would be dropped before the first batch even runs. The
+    // timeout deadline below carries the same offset, so semantics are
+    // unchanged.
+    val offsetMs = 1000L
     events
+      .withColumn("_ts",
+        ((col("tsMillis") + offsetMs) / 1000.0).cast("timestamp"))
+      .withWatermark("_ts", lateness)
+      .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          // fold this batch's events (sorted by time) into session state,
-          // emitting every session closed by a gap
-          val sorted = batch.toSeq.sortBy(_.tsMillis)
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.tsMillis - s.last > gapMillis =>
-                out += SessionOut(userId, s.start, s.last, s.nEvents)
-                cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
-              case Some(s) =>
-                cur = Some(s.copy(last = e.tsMillis, nEvents = s.nEvents + 1))
-              case None =>
-                cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: emit the open session, reclaim
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.nEvents))
+          } else {
+            // fold this batch's events (sorted by time) into session state,
+            // emitting every session closed by a gap
+            val sorted = batch.toSeq.sortBy(_.tsMillis)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMillis - s.last > gapMillis =>
+                  out += SessionOut(userId, s.start, s.last, s.nEvents)
+                  cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+                case Some(s) =>
+                  // an in-allowance straggler (ts <= last) joins the session
+                  // but must not drag its bounds backwards
+                  cur = Some(SessionState(math.min(s.start, e.tsMillis),
+                    math.max(s.last, e.tsMillis), s.nEvents + 1))
+                case None =>
+                  cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMillis + 1000L)
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 }

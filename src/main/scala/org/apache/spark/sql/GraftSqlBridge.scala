@@ -36,6 +36,14 @@ object GraftSqlBridge {
       execution.LogicalRDD(attrs, rdd, partitioning(attrs))(cs))
   }
 
+  /** Non-blocking Observation read: Some(metrics) if an action already
+    * completed on the observed plan, None otherwise (`getOrEmpty` is
+    * private[spark]) — lets callers fall back instead of hanging on
+    * `Observation.get` when no action ran. */
+  def observationResult(o: Observation): Option[Map[String, Any]] =
+    // getOrEmpty NPEs (not empty-maps) when no action fired the observation
+    scala.util.Try(o.getOrEmpty).toOption.filter(_.nonEmpty)
+
   /** partition index HashPartitioning(intCol, numPartitions) assigns to
     * `value`: pmod(murmur3_32(value, seed=42), numPartitions). */
   def murmur3PartitionId(value: Int, numPartitions: Int): Int = {

@@ -36,6 +36,21 @@ class SourcesSinksSpec extends SparkSpec {
     assert(src.plan(data, 2).files.isEmpty)
   }
 
+  test("file source skips hidden/_temporary paths (in-flight writer files)") {
+    val dir = tmpDir("hidden")
+    val src = new IncrementalFileSource(tmpDir("hidden-state"))
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(s"$dir/_temporary/0/task_1"))
+    Files.createDirectories(Paths.get(s"$dir/.staging"))
+    Files.write(Paths.get(s"$dir/ok.parquet"), Array[Byte](1, 2, 3))
+    Files.write(Paths.get(s"$dir/_temporary/0/task_1/part-0.parquet"),
+      Array[Byte](1))
+    Files.write(Paths.get(s"$dir/.staging/part-1.parquet"), Array[Byte](1))
+    val plan = src.plan(dir, nBins = 2)
+    assert(plan.files.map(_.path.split('/').last) == Seq("ok.parquet"),
+      s"in-flight temp/hidden files must not be pulled: ${plan.files}")
+  }
+
   test("worst-fit-decreasing bin packing balances heterogeneous files") {
     val src = new IncrementalFileSource(tmpDir("pack-state"))
     val files = Seq(900L, 100L, 400L, 300L, 350L, 250L, 80L, 820L)

@@ -65,7 +65,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(sessions.exists(s0 =>
       s0.user_id == 1L && s0.startMillis == 0L && s0.endMillis == 1000L &&
         s0.nEvents == 2))
-    // open sessions (user 2, user 1's second) not yet emitted
-    assert(!sessions.exists(_.user_id == 2L))
+    // user 2's session idles past the gap as the watermark advances to
+    // 100000: the EVENT-TIME timeout emits it and reclaims its state
+    assert(sessions.exists(s0 => s0.user_id == 2L && s0.startMillis == 500L &&
+      s0.endMillis == 500L && s0.nEvents == 1),
+      s"idle session must be emitted by the event-time timeout: ${sessions.toSeq}")
+    // user 1's second session (deadline 130000 > watermark) stays open
+    assert(!sessions.exists(s0 => s0.user_id == 1L && s0.startMillis == 100000L))
+  }
+
+  test("sessionize: cross-batch late event never inverts or splits a session") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Event]
+    val qn = s"sesslate_${System.nanoTime()}"
+    // generous lateness allowance so the straggler reaches the operator
+    val q = StreamOps.sessionize(ms.toDS(), gapMillis = 30000L,
+        lateness = "200 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .option("checkpointLocation", tmpDir("sck2")).start()
+    ms.addData(StreamOps.Event(1L, 100000L, "a"))
+    q.processAllAvailable()
+    // batch 2: a STRAGGLER (t=0) plus an in-session event; `last` must not
+    // move backwards (the old fold produced end=0 < start and a false split)
+    ms.addData(StreamOps.Event(1L, 0L, "late"),
+      StreamOps.Event(1L, 100001L, "b"))
+    q.processAllAvailable()
+    // batch 3: far-future event closes the (merged) session
+    ms.addData(StreamOps.Event(1L, 500000L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table(qn).as[StreamOps.SessionOut].collect()
+    assert(sessions.forall(s0 => s0.endMillis >= s0.startMillis),
+      s"inverted session emitted: ${sessions.toSeq}")
+    assert(sessions.exists(s0 => s0.user_id == 1L && s0.startMillis == 0L &&
+      s0.endMillis == 100001L && s0.nEvents == 3),
+      s"straggler must merge, not split: ${sessions.toSeq}")
   }
 }

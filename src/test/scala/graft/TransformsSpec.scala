@@ -107,6 +107,39 @@ class TransformsSpec extends SparkSpec {
     assert(sunk == Map("code" -> 2L, "docs" -> 1L))
   }
 
+  test("envelope extraction preserves unknown/null schema ids (no row loss)") {
+    val rows = Seq((1, "{\"k\": 1}"), (99, "{\"k\": 2}"))
+      .toDF("schemaId", "props")
+      .unionByName(Seq(("x", "y")).toDF("a", "props")
+        .withColumn("schemaId", lit(null).cast("int")).drop("a")
+        .select(col("schemaId"), col("props")))
+    val out = Transform.extractEnvelope("props",
+      _ => StructType(Seq(StructField("k", IntegerType))),
+      "schemaId", knownIds = Seq(1))(rows)
+    assert(out.count() == 3, "unknown/null schema ids must survive")
+    assert(out.filter(col("schemaId") === 1 &&
+      col("payload.k") === 1).count() == 1)
+    assert(out.filter(col("payload").isNull).count() == 2,
+      "unknown ids carry a null payload for downstream quarantine")
+    intercept[IllegalArgumentException] {
+      Transform.extractEnvelope("props", _ => StructType(Nil), "schemaId",
+        knownIds = Nil)(rows)
+    }
+  }
+
+  test("SQL function arity and input types are checked at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    intercept[Exception] { // extra argument must not be silently dropped
+      spark.sql("SELECT graft_simhash64(array('a'), 7)").collect()
+    }
+    intercept[Exception] { // wrong input type fails analysis, not codegen
+      spark.sql("SELECT graft_mix64('abc')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_simhash64(array(1, 2))").collect()
+    }
+  }
+
   test("envelope extraction decodes per schema id (CDC envelope analog)") {
     val env = Seq((1, "{\"a\": 5}"), (2, "{\"a\": 6, \"b\": \"x\"}"))
       .toDF("sid", "payload")
