@@ -145,8 +145,21 @@ object Fork {
       val routed = b.chain(cached.filter(b.predicate))
         .observe(obs, count(lit(1)).as("n"))
       b.sink(routed)
+      // Observation metrics are posted by an async listener, so they can
+      // land a beat AFTER the sink's action returns — poll briefly before
+      // concluding the sink ran no action, else the count() fallback would
+      // silently re-run the whole branch plan (a second pass).
+      def polled: Option[Any] = {
+        val deadline = System.nanoTime() + 2000L * 1000000L
+        var r = org.apache.spark.sql.GraftSqlBridge.observationResult(obs)
+        while (r.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(25)
+          r = org.apache.spark.sql.GraftSqlBridge.observationResult(obs)
+        }
+        r.flatMap(_.get("n"))
+      }
       val n = org.apache.spark.sql.GraftSqlBridge.observationResult(obs)
-        .flatMap(_.get("n")) match {
+        .flatMap(_.get("n")).orElse(polled) match {
         case Some(v) => v.asInstanceOf[Long]
         case None => routed.count() // no action in the sink
       }

@@ -59,14 +59,21 @@ final class IncrementalFileSource(stateDir: String) {
     val done = processed()
     val root = new HPath(dir)
     val f = root.getFileSystem(hconf)
+    // Only components strictly BELOW the watched root are checked: listed
+    // statuses come back fully qualified (file:/...), so the root must be
+    // qualified the same way or the upward walk never terminates at it and
+    // ends up inspecting the root's own name and every ancestor — a watched
+    // dir anywhere under a '.'/'_' component (e.g. /root/.cache/in) would
+    // silently plan zero files.
+    val qroot = f.makeQualified(root)
     def visibleUnderRoot(p: HPath): Boolean = {
       var cur = p
-      while (cur != null && cur != root) {
+      while (cur != null && cur != qroot) {
         val n = cur.getName
         if (n.startsWith("_") || n.startsWith(".")) return false
         cur = cur.getParent
       }
-      true
+      cur != null // defensive: a path NOT under root is not visible
     }
     val it = f.listFiles(root, true)
     val now = Iterator.continually(it)

@@ -51,6 +51,24 @@ class SourcesSinksSpec extends SparkSpec {
       s"in-flight temp/hidden files must not be pulled: ${plan.files}")
   }
 
+  test("file source ingests a watched root that itself sits under a " +
+      "dot/underscore-prefixed directory (only components BELOW root checked)") {
+    // regression: the hidden-name walk must stop at the (qualified) root —
+    // comparing against the unqualified root never matched the listed
+    // file:/ paths, so a watched dir like /tmp/.cache/in silently planned
+    // zero files (ADVICE r2, medium).
+    val base = tmpDir("dotroot")
+    val watched = s"$base/.cache/_data/in"
+    Files.createDirectories(Paths.get(watched))
+    Files.write(Paths.get(s"$watched/ok.parquet"), Array[Byte](1, 2, 3))
+    Files.createDirectories(Paths.get(s"$watched/.hidden"))
+    Files.write(Paths.get(s"$watched/.hidden/no.parquet"), Array[Byte](1))
+    val src = new IncrementalFileSource(tmpDir("dotroot-state"))
+    val plan = src.plan(watched, nBins = 2)
+    assert(plan.files.map(_.path.split('/').last) == Seq("ok.parquet"),
+      s"a dot-component ABOVE the root must not hide its contents: ${plan.files}")
+  }
+
   test("worst-fit-decreasing bin packing balances heterogeneous files") {
     val src = new IncrementalFileSource(tmpDir("pack-state"))
     val files = Seq(900L, 100L, 400L, 300L, 350L, 250L, 80L, 820L)
