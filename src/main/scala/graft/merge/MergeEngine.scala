@@ -122,9 +122,17 @@ object MergeEngine {
     // stack a second (repo,path)-keyed exchange on each side; relaxing it is
     // safe — hash-partitioning on a subset of the join keys still co-locates
     // equal keys — and is scoped to this epoch's plan construction.
-    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-    val coPartPrev = spark.conf.getOption(coPartKey)
-    spark.conf.set(coPartKey, "false")
+    // The two v2.bucketing confs make Catalyst honor the bucket-aligned
+    // scan's reported KeyGroupedPartitioning and accept co-partitioning
+    // against the winner side laid out in the same key-grouped layout
+    // (storage-partitioned join; without `shuffle.enabled` EnsureRequirements
+    // refuses the match and re-shuffles BOTH sides).
+    val scopedConfs = Seq(
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")
+    val prevConfs = scopedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scopedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
 
     val parent = table.currentManifest()
@@ -201,37 +209,6 @@ object MergeEngine {
     val winnerBytes = perGroup.map(_.getAs[Long]("keyBytes")).sum +
       48L * upsertCountEarly
 
-    lazy val deduped: org.apache.spark.sql.DataFrame =
-      if (winnerBytes <= maxBroadcastBytes) {
-        // phase B: winner rows via broadcast semi-equijoin on (key, seq),
-        // then ONE repartition by bucket (aligning with the merge join) and
-        // a windowed rank that removes exact intra-batch duplicates — two
-        // events with the SAME (key, seq), which at-least-once delivery can
-        // produce inside one micro-batch and the cross-epoch fence cannot
-        // see. The window's ClusteredDistribution(bucket,·) is satisfied by
-        // the hash(bucket) repartition and its sort IS the merge join's
-        // required sort order, so dedup costs no extra exchange or sort.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"bucket", $"repo", $"path")
-          .orderBy($"commit") // deterministic pick among exact duplicates
-        fresh.join(
-          broadcast(winners.select($"repo", $"path", $"seq", $"bucket")),
-          Seq("repo", "path", "seq"))
-          .repartition(table.numBuckets, $"bucket")
-          .withColumn("_rn", row_number().over(w))
-          .filter($"_rn" === 1).drop("_rn")
-      } else {
-        fresh
-          .groupBy($"repo", $"path")
-          .agg(max_by(struct($"op", $"seq", $"commit", $"lang", $"content"),
-            $"seq").as("e"))
-          .select($"repo", $"path", $"e.op".as("op"), $"e.seq".as("seq"),
-            $"e.commit".as("commit"), $"e.lang".as("lang"),
-            $"e.content".as("content"))
-          .withColumn("bucket", table.bucketCol($"repo", $"path"))
-          .repartition(table.numBuckets, $"bucket")
-      }
-
     // This epoch's claimed offset intervals, applied to EVERY partition —
     // including partitions with no events this epoch, which must still
     // persist offsets (the reference's empty-WorkUnit rule,
@@ -245,23 +222,47 @@ object MergeEngine {
     //    events when they arrive later: silent data loss), while claims
     //    include quarantined rows' seqs (quarantine is terminal; leaving
     //    them unclaimed would stall the completeness/purge horizon on a
-    //    permanent gap). Runs are found distributedly: a seq is a run start
-    //    (end) iff seq-1 (seq+1) is absent — two anti-joins over the
-    //    distinct-seq column; only the run boundaries reach the driver.
+    //    permanent gap). Runs are found distributedly in ONE pass: each
+    //    distinct seq emits a "present" marker for itself and a
+    //    "has-predecessor" marker for seq+1; after a single marker
+    //    aggregation, a value where the two disagree is a run boundary
+    //    (present-only = run start at v; predecessor-only = run end at v-1),
+    //    and ONLY boundaries survive the filter. The driver collects them
+    //    through an ordered top-k bounded by `spark.graft.maxClaimRuns`
+    //    (default 65536 runs): a pathologically gap-dense batch (alternating
+    //    seqs → millions of runs) claims only the lowest `cap` complete runs
+    //    and logs the truncation — unclaimed seqs are simply re-observed
+    //    later (the fence + LWW merge make re-pulls idempotent), so bounded
+    //    driver memory costs no correctness.
     val claimedIvs: Seq[(Long, Long)] = claimedRange match {
       case Some((lo, hi)) => Seq((lo, hi))
       case None =>
-        val obs = withPart.filter($"seq".isNotNull && $"seq" >= 0)
-          .select($"seq").distinct().persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val starts = obs.as("a").join(obs.as("b"),
-              col("a.seq") === col("b.seq") + 1, "left_anti")
-            .collect().map(_.getLong(0)).sorted
-          val ends = obs.as("a").join(obs.as("b"),
-              col("a.seq") === col("b.seq") - 1, "left_anti")
-            .collect().map(_.getLong(0)).sorted
-          starts.zip(ends).map { case (s, e) => (s - 1, e) }.toSeq
-        } finally { obs.unpersist(); () }
+        val cap = spark.conf.getOption("spark.graft.maxClaimRuns")
+          .map(_.toInt).getOrElse(65536)
+        val boundaries = withPart.filter($"seq".isNotNull && $"seq" >= 0)
+          .select($"seq").distinct()
+          .select(explode(array(
+            struct($"seq".as("v"), lit(1).as("self"), lit(0).as("succ")),
+            struct(($"seq" + 1).as("v"), lit(0).as("self"), lit(1).as("succ"))
+          )).as("m"))
+          .groupBy($"m.v".as("v"))
+          .agg(max($"m.self").as("s"), max($"m.succ").as("p"))
+          .filter($"s" =!= $"p")
+          .orderBy($"v")
+          .limit(2 * cap + 1) // TakeOrdered: bounded driver memory
+          .collect()
+          .map(r => (r.getAs[Long]("v"), r.getAs[Int]("s")))
+        // sorted boundaries strictly alternate start(s=1), end-marker(s=0);
+        // an odd count means the cap truncated a trailing unfinished run
+        val complete =
+          if (boundaries.length > 2 * cap) {
+            System.err.println(s"[graft] segment-claim runs exceed cap=$cap; " +
+              s"claiming only the lowest $cap runs (rest re-observed later)")
+            boundaries.take(2 * cap)
+          } else boundaries
+        complete.grouped(2).collect {
+          case Array((vs, 1), (ve, 0)) => (vs - 1, ve - 1)
+        }.toSeq
     }
     def mergedOffsets: Seq[OffsetRange] =
       Intervals.mergeClaims(committedIv, nLogPartitions, _ => claimedIvs)
@@ -311,28 +312,75 @@ object MergeEngine {
     val (touchedFiles, keptFiles) =
       parentFiles.partition(f => affectedBuckets.contains(f.bucket))
 
-    // Bucket-aligned merge: BOTH sides are hash-partitioned by `bucket`
-    // (same partition count), so the full-outer join needs no further
-    // exchange — HashPartitioning(bucket) satisfies ClusteredDistribution
-    // (bucket, repo, path) on each side and the join is a local per-bucket
-    // sort-merge. For a LARGE target (the 100 TB regime) the side doesn't
-    // shuffle AT ALL: the bucket-aligned read places each bucket's files
-    // directly on its hash partition and declares the partitioning
-    // (LogicalRDD claim), so only the much smaller winner set moves per
-    // epoch. For a SMALL target the per-bucket sub-plan overhead outweighs
-    // the avoided (tiny) shuffle — measured ~8% at 19k rows — so below
-    // `spark.graft.alignedScanMinBytes` (default 1 GiB of touched files,
-    // from manifest-recorded sizes) an explicit repartition wins.
+    // Bucket-aligned merge (storage-partitioned join): the target side is a
+    // DSv2 scan over the touched buckets' files reporting
+    // KeyGroupedPartitioning(bucket), and the winner side is laid out in the
+    // EXACT same key-grouped layout (one partition per affected bucket,
+    // ascending) — Catalyst recognises the co-partitioning, so the
+    // full-outer join needs NO exchange on either side: the 100 TB target
+    // is read in place per bucket and only the much smaller winner set
+    // moves (once, inside the layout shuffle the dedup window also rides).
+    // For a NEAR-EMPTY target the per-bucket task fan-out outweighs the
+    // avoided (tiny) shuffle, so below `spark.graft.alignedScanMinBytes`
+    // (default 16 MiB of touched files, from manifest-recorded sizes) an
+    // explicit repartition of both sides wins. The gate dropped from r2's
+    // 1 GiB: the DSv2 scan removed the per-bucket sub-plan overhead that
+    // penalized small tables (A/B in BENCH.md: aligned 15.5-15.7 s vs
+    // plain 17.0 s at 256 buckets / 2M events / 19k rows).
     val alignedMinBytes: Long = spark.conf
       .getOption("spark.graft.alignedScanMinBytes").map(_.toLong)
-      .getOrElse(1L << 30)
+      .getOrElse(16L << 20)
     val touchedBytes = touchedFiles.map(f => math.max(0L, f.bytes)).sum
+    val useAligned = touchedFiles.nonEmpty && touchedBytes >= alignedMinBytes
+    // the partition-value universe BOTH sides must share: every bucket the
+    // winners touch (buckets whose parent files exist but hold no winners
+    // are untouched and carried forward — never scanned)
+    val alignedBuckets: Seq[Int] = affectedBuckets.toSeq.sorted
     val current =
-      if (touchedFiles.nonEmpty && touchedBytes >= alignedMinBytes)
-        table.readFilesBucketAligned(spark, touchedFiles, schemaIdNow)
+      if (useAligned)
+        table.readFilesBucketAligned(spark, touchedFiles, schemaIdNow,
+          buckets = Some(alignedBuckets))
       else
         table.readFiles(spark, touchedFiles, schemaIdNow)
           .repartition(table.numBuckets, col("bucket"))
+
+    // align the winner side with the chosen target layout
+    def alignWinners(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (useAligned)
+        org.apache.spark.sql.GraftSqlBridge
+          .dataFrameWithKeyGroupedPartitioning(spark, df, "bucket",
+            alignedBuckets)
+      else df.repartition(table.numBuckets, $"bucket")
+
+    val deduped: org.apache.spark.sql.DataFrame =
+      if (winnerBytes <= maxBroadcastBytes) {
+        // phase B: winner rows via broadcast semi-equijoin on (key, seq),
+        // then ONE layout shuffle by bucket (aligning with the merge join)
+        // and a windowed rank that removes exact intra-batch duplicates —
+        // two events with the SAME (key, seq), which at-least-once delivery
+        // can produce inside one micro-batch and the cross-epoch fence
+        // cannot see. The window's ClusteredDistribution(bucket,·) is
+        // satisfied by the bucket layout and its sort IS the merge join's
+        // required sort order, so dedup costs no extra exchange or sort.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"bucket", $"repo", $"path")
+          .orderBy($"commit") // deterministic pick among exact duplicates
+        alignWinners(fresh.join(
+          broadcast(winners.select($"repo", $"path", $"seq", $"bucket")),
+          Seq("repo", "path", "seq")))
+          .withColumn("_rn", row_number().over(w))
+          .filter($"_rn" === 1).drop("_rn")
+      } else {
+        alignWinners(fresh
+          .groupBy($"repo", $"path")
+          .agg(max_by(struct($"op", $"seq", $"commit", $"lang", $"content"),
+            $"seq").as("e"))
+          .select($"repo", $"path", $"e.op".as("op"), $"e.seq".as("seq"),
+            $"e.commit".as("commit"), $"e.lang".as("lang"),
+            $"e.content".as("content"))
+          .withColumn("bucket", table.bucketCol($"repo", $"path")))
+      }
 
     // LWW resolution per target-schema column, by stable colId. The update
     // wins only if strictly newer than the stored row's lastSeq; a winning
@@ -436,9 +484,9 @@ object MergeEngine {
     } finally { winners.unpersist(); () }
 
     } finally {
-      coPartPrev match {
-        case Some(v) => spark.conf.set(coPartKey, v)
-        case None => spark.conf.unset(coPartKey)
+      prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }

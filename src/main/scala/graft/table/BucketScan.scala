@@ -1,0 +1,210 @@
+package graft.table
+
+import graft.model.DataFileEntry
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, GenericInternalRow, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => ConnectorKeyGroupedPartitioning, Partitioning => ConnectorPartitioning}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * DataSource V2 scan over an IceTable's manifest-listed files reporting
+ * `KeyGroupedPartitioning(bucket)` — the storage-partitioned-join contract
+ * the reference relies on from Iceberg (the table-format scan behind
+ * gobblin-iceberg/.../writer/IcebergMetadataWriter.java:834-905): the CoW
+ * MERGE's target side is read IN PLACE, one input partition per bucket, and
+ * Catalyst's storage-partitioned-join machinery recognises the layout, so
+ * the join needs NO exchange on this side regardless of bucket count.
+ *
+ * This replaces the round-2 LogicalRDD claimed-partitioning construction,
+ * which built one sub-plan + `coalesce(1)` RDD per occupied bucket: correct,
+ * but O(numBuckets) driver plan nodes and a forced single task per bucket —
+ * the production path at thousands of buckets is exactly this scan.
+ *
+ *  - One [[BucketInputPartition]] per participating bucket, carrying that
+ *    bucket's manifest file subset (possibly several files, possibly none).
+ *    `HasPartitionKey` exposes the bucket value, so Spark groups partitions
+ *    into `KeyGroupedPartitioning` with one partition per bucket value.
+ *  - Driver plan size is flat in bucket count: ONE BatchScan node; the file
+ *    lists ride the serialized input partitions.
+ *  - Files written under older schema vintages are evolved at read time by
+ *    column-id projection (rename/widen/null-fill — SchemaRegistry), as a
+ *    per-vintage `UnsafeProjection` applied inside the partition reader, so
+ *    a mixed-vintage table still yields ONE uniform scan schema.
+ *  - Parquet decoding reuses Spark's own reader
+ *    (`ParquetFileFormat.buildReaderWithPartitionValues`, row-returning
+ *    mode), so predicate/dictionary/vectorized handling match the stock
+ *    parquet source.
+ *
+ * Requires `spark.sql.sources.v2.bucketing.enabled=true` at planning time
+ * (MergeEngine sets it for the epoch scope) for Catalyst to expose the
+ * reported partitioning.
+ */
+object BucketScan {
+
+  /** files of ONE bucket (possibly empty — an empty partition keeps the
+    * partition-value universe aligned with the other join side). */
+  final case class FileSpec(path: String, length: Long, schemaId: Int)
+
+  final case class BucketInputPartition(bucket: Int, files: Seq[FileSpec])
+      extends InputPartition with HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new GenericInternalRow(Array[Any](bucket))
+  }
+
+  /** per-row evolution: reader output layout is
+    * [vintage logical cols..., lastSeq, deleted, bucket]; project to the
+    * canonical [target cols..., bucket, lastSeq, deleted] with column-id
+    * matched rename / widen cast / null-fill (bound expressions — built on
+    * the driver, codegen'd on the executor via UnsafeProjection). */
+  private def evolveExprs(vintage: SchemaDef, target: SchemaDef): Seq[Expression] = {
+    val inTypes: Seq[(String, DataType)] =
+      vintage.columns.map(c => c.name -> sparkType(c.dataType)) ++
+        Seq("lastSeq" -> LongType, "deleted" -> BooleanType,
+          "bucket" -> IntegerType)
+    val ord: Map[String, Int] = inTypes.map(_._1).zipWithIndex.toMap
+    def ref(name: String): Expression =
+      BoundReference(ord(name), inTypes(ord(name))._2, nullable = true)
+    val old = vintage.byColId
+    target.columns.map { tc =>
+      old.get(tc.colId) match {
+        case Some(oc) if oc.dataType == tc.dataType => ref(oc.name)
+        case Some(oc) => Cast(ref(oc.name), sparkType(tc.dataType), None)
+        case None => Literal(null, sparkType(tc.dataType))
+      }
+    } ++ Seq(ref("bucket"), ref("lastSeq"), ref("deleted"))
+  }
+
+  private def sparkType(t: String): DataType = t match {
+    case "string" => StringType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "double" => DoubleType
+    case other => throw new IllegalArgumentException(s"type $other")
+  }
+
+  /** the parquet file schema a given vintage was written with */
+  private def fileReadSchema(vintage: SchemaDef): StructType =
+    StructType(vintage.columns.map(c =>
+      StructField(c.name, sparkType(c.dataType), nullable = true)) ++ Seq(
+      StructField("lastSeq", LongType, nullable = true),
+      StructField("deleted", BooleanType, nullable = true)))
+
+  /** canonical scan output: target cols then physical cols */
+  def canonicalSchema(targetSchemaId: Int): StructType = {
+    val t = SchemaRegistry.schemaFor(targetSchemaId)
+    StructType(t.columns.map(c =>
+      StructField(c.name, sparkType(c.dataType), nullable = true)) ++ Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("lastSeq", LongType, nullable = true),
+      StructField("deleted", BooleanType, nullable = true)))
+  }
+
+  private final class BucketReaderFactory(
+      readers: Map[Int, PartitionedFile => Iterator[InternalRow]],
+      projections: Map[Int, Seq[Expression]])
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val bp = p.asInstanceOf[BucketInputPartition]
+      new PartitionReader[InternalRow] {
+        private val projCache =
+          scala.collection.mutable.Map.empty[Int, UnsafeProjection]
+        private val it: Iterator[InternalRow] =
+          bp.files.iterator.flatMap { f =>
+            val proj = projCache.getOrElseUpdate(f.schemaId,
+              UnsafeProjection.create(projections(f.schemaId).toArray))
+            readers(f.schemaId)(GraftSqlBridge.makePartitionedFile(
+              new GenericInternalRow(Array[Any](bp.bucket)), f.path, f.length))
+              .map(proj)
+          }
+        private var cur: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { cur = it.next(); true } else false
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+  }
+
+  private final class GraftBucketScan(
+      scanSchema: StructType,
+      parts: Array[InputPartition],
+      factory: PartitionReaderFactory)
+      extends Scan with Batch with SupportsReportPartitioning {
+    override def readSchema(): StructType = scanSchema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = parts
+    override def createReaderFactory(): PartitionReaderFactory = factory
+    override def outputPartitioning(): ConnectorPartitioning =
+      new ConnectorKeyGroupedPartitioning(
+        Array(Expressions.identity("bucket")), parts.length)
+    override def description(): String =
+      s"graft-bucket-scan[${parts.length} buckets]"
+  }
+
+  private final class GraftBucketTable(
+      scanSchema: StructType,
+      parts: Array[InputPartition],
+      factory: PartitionReaderFactory)
+      extends Table with SupportsRead {
+    override def name(): String = "graft_bucket_aligned"
+    override def schema(): StructType = scanSchema
+    override def partitioning(): Array[Transform] =
+      Array(Expressions.identity("bucket"))
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan =
+          new GraftBucketScan(scanSchema, parts, factory)
+      }
+  }
+
+  /**
+   * Bucket-aligned DataFrame over `files`, one input partition per bucket in
+   * `buckets` (ascending; buckets without files get an empty partition so
+   * the partition-value universe matches the other join side exactly).
+   */
+  def read(spark: SparkSession, files: Seq[DataFileEntry],
+           buckets: Seq[Int], targetSchemaId: Int): DataFrame = {
+    require(buckets.nonEmpty, "bucket-aligned scan needs at least one bucket")
+    val sortedBuckets = buckets.distinct.sorted
+    val byBucket = files.groupBy(_.bucket)
+    require(byBucket.keySet.subsetOf(sortedBuckets.toSet),
+      s"files outside the declared bucket set: " +
+        s"${byBucket.keySet -- sortedBuckets.toSet}")
+    val target = SchemaRegistry.schemaFor(targetSchemaId)
+    val vintages = files.map(_.schemaId).distinct
+    val readers = vintages.map { sid =>
+      sid -> GraftSqlBridge.parquetReaderFunction(spark,
+        fileReadSchema(SchemaRegistry.schemaFor(sid)),
+        StructType(Seq(StructField("bucket", IntegerType, nullable = false))))
+    }.toMap
+    val projections = vintages.map { sid =>
+      sid -> evolveExprs(SchemaRegistry.schemaFor(sid), target)
+    }.toMap
+    // resolve unknown lengths (legacy manifests record bytes = -1) — a
+    // PartitionedFile's length bounds the read, so 0 would read nothing
+    lazy val hconf = spark.sessionState.newHadoopConf()
+    def len(f: DataFileEntry): Long =
+      if (f.bytes >= 0) f.bytes
+      else {
+        val p = new org.apache.hadoop.fs.Path(f.path)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }
+    val parts: Array[InputPartition] = sortedBuckets.map { b =>
+      BucketInputPartition(b, byBucket.getOrElse(b, Nil)
+        .sortBy(_.path)
+        .map(f => FileSpec(f.path, len(f), f.schemaId)))
+        : InputPartition
+    }.toArray
+    GraftSqlBridge.dataFrameFromV2Table(spark,
+      new GraftBucketTable(canonicalSchema(targetSchemaId), parts,
+        new BucketReaderFactory(readers, projections)))
+  }
+}

@@ -117,7 +117,18 @@ final class IceTable(val dir: String, val numBuckets: Int) {
 
   /** Atomically commit `m` as the new current snapshot. The rename-without-
     * overwrite of the snapshot file is the CAS: a racing writer that planned
-    * against the same parent fails here instead of clobbering. */
+    * against the same parent fails here instead of clobbering.
+    *
+    * `FileSystem.rename` is NOT a safe CAS everywhere: on Raw/LocalFileSystem
+    * it maps to POSIX rename(2), which silently REPLACES an existing
+    * destination — two racing writers would both "win" and one snapshot
+    * would be clobbered. So where the scheme has an `AbstractFileSystem`
+    * binding (file://, hdfs://, ...), the rename goes through
+    * `FileContext.rename(src, dst, Options.Rename.NONE)`, whose contract is
+    * fail-on-existing-destination on every store (local included). Schemes
+    * without a binding fall back to `FileSystem.rename`; there the
+    * destination-exists guard narrows but cannot eliminate the window, and
+    * the `parentVersion` precondition remains the practical protection. */
   def commit(m: EpochManifest): Unit = {
     val f = fs
     val cur = currentVersion()
@@ -128,15 +139,29 @@ final class IceTable(val dir: String, val numBuckets: Int) {
       f".snap-${m.version}%08d-${System.nanoTime()}%d.json.tmp")
     val out = f.create(tmp, false)
     try out.write(ManifestJson.write(m).getBytes("UTF-8")) finally out.close()
-    val won =
-      try f.rename(tmp, snapPath(m.version))
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-    if (!won) {
+    if (!renameNoReplace(f, tmp, snapPath(m.version))) {
       f.delete(tmp, false)
       throw new IllegalArgumentException(
         s"concurrent writer detected: snapshot ${m.version} already committed")
     }
   }
+
+  /** rename failing (false) when the destination exists; no-overwrite CAS
+    * via FileContext where the scheme supports it (see [[commit]]). */
+  private def renameNoReplace(f: FileSystem, src: HPath, dst: HPath): Boolean =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, f.getConf)
+      fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem binding for this scheme: best-effort guard +
+        // FileSystem rename (HDFS-like stores fail it on existing dst anyway)
+        try !f.exists(dst) && f.rename(src, dst)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
 
   // ---- reads --------------------------------------------------------------
 
@@ -207,49 +232,31 @@ final class IceTable(val dir: String, val numBuckets: Int) {
       }.reduce(_.unionByName(_))
     }
 
-  /** Bucket-aligned read: the manifest-listed files, one RDD partition per
-    * murmur3(bucket) partition index, with the resulting DataFrame CLAIMING
-    * `HashPartitioning(bucket, numBuckets)` (via LogicalRDD — the stock-
-    * Spark stand-in for a DSv2 scan reporting KeyGroupedPartitioning).
-    * The claim is physically true by construction: every file holds exactly
-    * one bucket (write layout), and each file group is placed on the exact
-    * partition index Catalyst computes for its bucket value. A downstream
-    * join keyed on (bucket, ...) against a side repartitioned by bucket
-    * then needs NO exchange on this side — the CoW MERGE target never
-    * shuffles, it is read in place per bucket.
+  /** Bucket-aligned read: a DataSource-V2 scan over the manifest-listed
+    * files reporting `KeyGroupedPartitioning(bucket)` — the storage-
+    * partitioned-join contract (the table-format scan the reference gets
+    * from Iceberg, IcebergMetadataWriter.java:834-905). One input partition
+    * per bucket in `buckets` (default: the buckets the files occupy; pass a
+    * superset to align the partition-value universe with the other join
+    * side). A downstream join keyed on (bucket, ...) against a side laid
+    * out with `GraftSqlBridge.dataFrameWithKeyGroupedPartitioning` over the
+    * SAME bucket list then needs NO exchange on either side — the CoW MERGE
+    * target never shuffles, it is read in place per bucket, and driver plan
+    * size stays flat in bucket count (one BatchScan node; file lists ride
+    * the serialized input partitions).
     *
-    * Scale note: partition count == numBuckets, so one task per bucket;
-    * size buckets for the cluster (the production path at very large bucket
-    * counts is the DSv2 storage-partitioned-join contract, same semantics). */
+    * Requires at planning time (MergeEngine scopes them per epoch):
+    * `spark.sql.sources.v2.bucketing.enabled` and
+    * `spark.sql.sources.v2.bucketing.shuffle.enabled` true (the latter lets
+    * Catalyst accept co-partitioning against the laid-out side), plus
+    * `spark.sql.requireAllClusterKeysForCoPartition=false`. */
   def readFilesBucketAligned(spark: SparkSession, files: Seq[DataFileEntry],
-      targetSchemaId: Int = SchemaRegistry.baseSchemaId): DataFrame = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    import org.apache.spark.sql.GraftSqlBridge
-    // canonical column order so every group (and schema vintage) lines up
-    val canonical: Seq[String] =
-      SchemaRegistry.schemaFor(targetSchemaId).columns.map(_.name) ++
-        SchemaRegistry.physicalCols
-    def canon(df: DataFrame): DataFrame = df.select(canonical.map(col): _*)
-    if (files.isEmpty)
-      return canon(readFiles(spark, files, targetSchemaId))
-        .repartition(numBuckets, col("bucket"))
-    val groups: Map[Int, Seq[DataFileEntry]] = files.groupBy(f =>
-      GraftSqlBridge.murmur3PartitionId(f.bucket, numBuckets))
-    val groupDfs: Map[Int, DataFrame] = groups.map { case (tp, fs) =>
-      tp -> canon(readFiles(spark, fs, targetSchemaId))
-    }
-    val schema = groupDfs.head._2.schema
-    val rdds = (0 until numBuckets).map { tp =>
-      groupDfs.get(tp) match {
-        case Some(df) => df.coalesce(1).queryExecution.toRdd
-        case None => spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
-      }
-    }
-    val bucketIdx = schema.fieldIndex("bucket")
-    GraftSqlBridge.dataFrameWithPartitioning(spark,
-      spark.sparkContext.union(rdds), schema,
-      attrs => HashPartitioning(Seq(attrs(bucketIdx)), numBuckets))
+      targetSchemaId: Int = SchemaRegistry.baseSchemaId,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    require(files.nonEmpty || buckets.exists(_.nonEmpty),
+      "bucket-aligned read of an empty file set needs an explicit bucket list")
+    val bs = buckets.getOrElse(files.map(_.bucket).distinct.sorted)
+    BucketScan.read(spark, files, bs, targetSchemaId)
   }
 
   private def emptyDf(spark: SparkSession): DataFrame = {

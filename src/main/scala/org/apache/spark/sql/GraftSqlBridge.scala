@@ -51,4 +51,84 @@ object GraftSqlBridge {
     val m = h % numPartitions
     if (m < 0) m + numPartitions else m
   }
+
+  // ---- DSv2 storage-partitioned-scan support ------------------------------
+
+  /** Spark's own parquet row reader (the function FileSourceScanExec feeds
+    * FileScanRDD): reads `dataSchema` columns of a file and appends
+    * `partitionSchema` values carried on the PartitionedFile. Row-returning
+    * mode (no ColumnarBatch leaking through the Iterator[InternalRow]
+    * signature); the closure is executor-serializable (it captures a
+    * broadcast SerializableConfiguration). */
+  def parquetReaderFunction(
+      spark: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType)
+      : execution.datasources.PartitionedFile => Iterator[InternalRow] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    new execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        sparkSession = cs,
+        dataSchema = dataSchema,
+        partitionSchema = partitionSchema,
+        requiredSchema = dataSchema,
+        filters = Nil,
+        options = Map(
+          execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = cs.sessionState.newHadoopConf())
+  }
+
+  def makePartitionedFile(partitionValues: InternalRow, path: String,
+      length: Long): execution.datasources.PartitionedFile =
+    execution.datasources.PartitionedFile(
+      partitionValues = partitionValues,
+      filePath = org.apache.spark.paths.SparkPath.fromPathString(path),
+      start = 0L,
+      length = length,
+      locations = Array.empty,
+      modificationTime = 0L,
+      fileSize = length)
+
+  /** DataFrame over a programmatic DSv2 Table (no catalog registration). */
+  def dataFrameFromV2Table(spark: SparkSession,
+      table: connector.catalog.Table): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    classic.Dataset.ofRows(cs,
+      execution.datasources.v2.DataSourceV2Relation.create(table, None, None))
+  }
+
+  /** Shuffle `df` into the EXACT KeyGroupedPartitioning layout a DSv2 scan
+    * reporting `KeyGroupedPartitioning(bucketCol)` over `bucketValues`
+    * exposes: one partition per bucket value, ascending. The result CLAIMS
+    * that partitioning, so a join between it and such a scan is recognised
+    * as storage-co-partitioned and needs no further exchange on either side
+    * (Catalyst could insert the shuffle itself under
+    * `spark.sql.sources.v2.bucketing.shuffle.enabled`, but only directly
+    * below the join — doing it here lets a window/dedup ride the same
+    * single shuffle first). Rows whose bucket is not in `bucketValues` are
+    * a caller bug and fail the task (keyed partitioner lookup). */
+  def dataFrameWithKeyGroupedPartitioning(
+      spark: SparkSession,
+      df: DataFrame,
+      bucketCol: String,
+      bucketValues: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{KeyGroupedPartitioning => PhysKGP}
+    val values = bucketValues.distinct.sorted
+    val posOf = values.zipWithIndex.toMap
+    val idx = df.schema.fieldIndex(bucketCol)
+    val n = values.size
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = posOf(key.asInstanceOf[Int])
+    }
+    val laid = df.queryExecution.toRdd
+      .mapPartitions(_.map(r => (r.getInt(idx), r.copy())))
+      .partitionBy(partitioner)
+      .map(_._2)
+    val schema = df.schema
+    val rows: Seq[InternalRow] = values.map(v =>
+      new catalyst.expressions.GenericInternalRow(Array[Any](v)): InternalRow)
+    dataFrameWithPartitioning(spark, laid, schema,
+      attrs => PhysKGP(Seq(attrs(idx)), n, rows, rows))
+  }
 }

@@ -135,6 +135,41 @@ class OutOfOrderSpec extends SparkSpec {
     t.read(spark).select("repo", "path", "contentSha").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
 
+  test("gap-dense segment claims are capped; unclaimed seqs still ingest") {
+    // adversarial unknown-provenance batch: ALTERNATING seqs → every seq is
+    // its own contiguous run (100 runs here, millions in the wild). The
+    // claim computation must stay bounded on the driver: with
+    // spark.graft.maxClaimRuns=8 only the lowest 8 runs are claimed; the
+    // rest of the batch is still APPLIED (capping claims drops no rows) and
+    // the unclaimed seqs stay fence-free, so late/re-delivered events for
+    // them are never lost.
+    val t = IceTable.create(tmpDir("gapdense"), numBuckets = 2)
+    def ev(seq: Long) = ChangeEvent("u", seq, "r", s"p${seq % 7}",
+      f"$seq%040d", "scala", s"v$seq")
+    spark.conf.set("spark.graft.maxClaimRuns", "8")
+    try {
+      val out1 = MergeEngine.applyEpoch(spark, t,
+        (0L until 200L by 2).map(ev).toDS(), 0, nLogPartitions = 2)
+      assert(!out1.skipped)
+      assert(out1.stats.rowsApplied == 7, "all 100 evens must merge (7 keys)")
+      val m = t.currentManifest().get
+      m.offsets.groupBy(_.partitionId).values.foreach(rs =>
+        assert(rs.size <= 8, s"claimed runs must be capped at 8: ${rs.size}"))
+      // lowest 8 single-seq runs claimed: seqs 0,2,..,14; 16+ unclaimed
+      val iv = MergeEngine.committedIntervals(Some(m))(0)
+      assert(Intervals.covers(iv, 14L) && !Intervals.covers(iv, 16L))
+      // the odds (all unclaimed) plus a re-delivery of every even: nothing
+      // may be lost — final state is the full-log oracle
+      val out2 = MergeEngine.applyEpoch(spark, t,
+        (0L until 200L).map(ev).toDS(), 1, nLogPartitions = 2)
+      assert(!out2.skipped)
+      val want = (0L until 200L).groupBy(_ % 7).map { case (k, seqs) =>
+        ("r", s"p$k") -> OracleFold.sha256Hex(s"v${seqs.max}")
+      }
+      assert(shaState(t) == want, "capped claims must not lose data")
+    } finally spark.conf.unset("spark.graft.maxClaimRuns")
+  }
+
   test("interval algebra: normalize merges touching ranges") {
     assert(Intervals.normalize(Seq((10L, 20L), (-1L, 10L))) == Seq((-1L, 20L)))
     assert(Intervals.normalize(Seq((5L, 8L), (0L, 3L))) == Seq((0L, 3L), (5L, 8L)))

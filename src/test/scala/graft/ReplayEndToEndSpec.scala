@@ -163,13 +163,13 @@ class ReplayEndToEndSpec extends SparkSpec {
       assert(tableState(t) == want,
         "aligned-scan replay must match the oracle fold")
       // listener delivery is async; wait for the epoch-1 merge plan (both
-      // sides non-empty -> a real full-outer join over the aligned sides;
-      // the target side is the claimed-partitioning scan = ExistingRDD)
+      // sides non-empty -> a real full-outer join: the target side is the
+      // DSv2 bucket scan, the winner side the key-grouped-laid ExistingRDD)
       // generous: listener delivery is async and this shared host can stall
       // for tens of seconds under load (2.4x noise, see BENCH.md)
       val deadline = System.currentTimeMillis() + 120000
       def planOpt = captured.asScala.find(p =>
-        p.contains("FullOuter") && p.contains("ExistingRDD"))
+        p.contains("FullOuter") && p.contains("graft_bucket_aligned"))
       while (planOpt.isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       val plan = planOpt.getOrElse(
@@ -177,21 +177,25 @@ class ReplayEndToEndSpec extends SparkSpec {
       // count only the merge plan proper: the printed string also embeds the
       // adaptive Initial Plan and the cached winners' InMemoryRelation
       // subplan (whose own envelope-aggregation exchange is expected) —
-      // both appear strictly BELOW the join-side exchange.
+      // both appear strictly BELOW the join.
       val mergeSection = plan.linesIterator
         .takeWhile(l => !l.contains("InMemoryRelation") &&
           !l.contains("== Initial Plan =="))
         .mkString("\n")
-      val nShuffles =
-        "Exchange hashpartitioning".r.findAllIn(mergeSection).length
-      assert(nShuffles == 1,
-        s"bucket-aligned merge: target side reads in place, only the winner " +
-          s"side shuffles once (got $nShuffles):\n$plan")
-      // the single exchange keys on bucket ALONE; nothing re-shuffles the
-      // join output or stacks a (repo,path) exchange on a side
-      assert("Exchange hashpartitioning\\(bucket#\\d+, \\d+\\)".r
-        .findAllIn(mergeSection).length == 1,
-        s"the one exchange must partition by bucket only:\n$plan")
+      // storage-partitioned join: Catalyst recognises the DSv2 scan's
+      // KeyGroupedPartitioning and the winner side's identical claimed
+      // layout — ZERO planner exchanges in the merge plan. The target is
+      // read IN PLACE (BatchScan directly under the join-side sort); the
+      // winner side's single layout shuffle lives inside its RDD lineage
+      // (dataFrameWithKeyGroupedPartitioning), not as an Exchange node.
+      val nShuffles = "Exchange".r.findAllIn(mergeSection).length
+      assert(nShuffles == 0,
+        s"bucket-aligned merge: storage-partitioned join must need no " +
+          s"planner exchange on either side (got $nShuffles):\n$plan")
+      assert(mergeSection.contains("BatchScan graft_bucket_aligned"),
+        s"the merge target must be the DSv2 bucket scan:\n$plan")
+      assert(mergeSection.contains("ExistingRDD"),
+        s"the winner side must be the key-grouped-laid RDD:\n$plan")
     } finally {
       spark.conf.unset("spark.graft.alignedScanMinBytes")
       spark.listenerManager.unregister(l)
