@@ -10,12 +10,22 @@ import org.apache.spark.sql.SparkSession
  * files previous runs already pulled, and distributes `filesToPull` across
  * WorkUnits (gobblin-core/.../filebased/FileBasedSource.java:58,88,136-169).
  *
- * Spark-native version: a processed-files ledger (atomic tmp+rename like
- * FsStateStore.put) plus worst-fit-decreasing bin packing of the new files
- * into N balanced read groups — the KafkaWorkUnitPacker's algorithm
+ * Spark-native version: an APPEND-ONLY processed-files ledger plus
+ * worst-fit-decreasing bin packing of the new files into N balanced read
+ * groups — the KafkaWorkUnitPacker's algorithm
  * (gobblin-modules/.../packer/KafkaSingleLevelWorkUnitPacker.java; SURVEY.md
  * §2.8). Each group becomes one `spark.read.parquet(groupFiles: _*)` unit,
  * so a heterogeneous file population still yields balanced tasks.
+ *
+ * Ledger scale design (the reference's per-run state append,
+ * gobblin-metastore/.../FsStateStore.java:156-178): each `markProcessed`
+ * writes ONE new segment file holding only that epoch's paths — O(new
+ * files) IO, never a rewrite of history. The snapshot diff runs as a Spark
+ * ANTI-JOIN of the listed snapshot against a distributed text read of the
+ * segments, so the full processed set is never materialized as a driver
+ * Set; only the (small) new-file result is collected for bin packing. When
+ * segments accumulate past `maxSegments`, they are merged into one — an
+ * O(total) pass amortized over `maxSegments` epochs.
  *
  * All IO goes through Hadoop `FileSystem`, so both the watched directory and
  * the ledger can live on any durable store (`hdfs://`, `s3a://`, ...).
@@ -27,7 +37,7 @@ object IncrementalFileSource {
   }
 }
 
-final class IncrementalFileSource(stateDir: String) {
+final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
   import IncrementalFileSource.{FileEntry, Plan}
 
   private def hconf: Configuration =
@@ -35,19 +45,37 @@ final class IncrementalFileSource(stateDir: String) {
       .getOrElse(new Configuration())
   private val stateRoot = new HPath(stateDir)
   private def stateFs: FileSystem = stateRoot.getFileSystem(hconf)
-  private def ledgerPath = new HPath(stateRoot, "processed_files.txt")
-  stateFs.mkdirs(stateRoot)
+  private def ledgerDir = new HPath(stateRoot, "ledger")
+  /** pre-segment ledger file (older state dirs); read-only back-compat */
+  private def legacyLedgerPath = new HPath(stateRoot, "processed_files.txt")
+  stateFs.mkdirs(ledgerDir)
 
+  /** committed ledger segments, oldest first (name-ordered nanotime) */
+  private def segments(): Seq[HPath] = {
+    val f = stateFs
+    val segs =
+      if (!f.exists(ledgerDir)) Seq.empty
+      else f.listStatus(ledgerDir).iterator
+        .filter(s => s.isFile && s.getPath.getName.startsWith("seg-") &&
+          s.getPath.getName.endsWith(".txt"))
+        .map(_.getPath).toSeq.sortBy(_.getName)
+    if (f.exists(legacyLedgerPath)) legacyLedgerPath +: segs else segs
+  }
+
+  /** Full processed set ON THE DRIVER — test/inspection surface only; the
+    * planning path diffs distributedly and never calls this. */
   def processed(): Set[String] = {
     val f = stateFs
-    if (!f.exists(ledgerPath)) Set.empty
-    else {
-      val in = f.open(ledgerPath)
+    segments().iterator.flatMap { p =>
+      val in = f.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toSet
+        .getLines().filter(_.nonEmpty).toList
       finally in.close()
-    }
+    }.toSet
   }
+
+  /** number of live ledger segments (compaction observability) */
+  def segmentCount(): Int = segments().size
 
   /** list current snapshot (recursive), subtract the ledger, pack into
     * `nBins`. Paths with any hidden component (`_`/`.` prefix — e.g. a
@@ -56,7 +84,6 @@ final class IncrementalFileSource(stateDir: String) {
     * would double-ingest it under its final name after the writer commits. */
   def plan(dir: String, nBins: Int,
            pattern: String => Boolean = _.endsWith(".parquet")): Plan = {
-    val done = processed()
     val root = new HPath(dir)
     val f = root.getFileSystem(hconf)
     // Only components strictly BELOW the watched root are checked: listed
@@ -81,9 +108,31 @@ final class IncrementalFileSource(stateDir: String) {
       .filter(s => s.isFile && pattern(s.getPath.toString) &&
         visibleUnderRoot(s.getPath))
       .map(s => FileEntry(s.getPath.toString, s.getLen))
-      .filterNot(e => done.contains(e.path))
       .toSeq
-    Plan(binPack(now, nBins))
+    Plan(binPack(diffAgainstLedger(now), nBins))
+  }
+
+  /** snapshot minus ledger. With an active SparkSession the diff is a
+    * distributed LEFT ANTI join (listing rows against a text read of the
+    * ledger segments) — the processed set never lands on the driver and
+    * only the new files come back. Driver-set fallback without a session. */
+  private def diffAgainstLedger(now: Seq[FileEntry]): Seq[FileEntry] = {
+    val segs = segments()
+    if (segs.isEmpty) return now
+    SparkSession.getActiveSession match {
+      case Some(spark) =>
+        import spark.implicits._
+        val done = spark.read.textFile(segs.map(_.toString): _*)
+          .filter(_.nonEmpty).toDF("path")
+        now.toDF("path", "size")
+          .join(done, Seq("path"), "left_anti")
+          .as[(String, Long)].collect()
+          .map { case (p, s) => FileEntry(p, s) }.toSeq
+          .sortBy(_.path)
+      case None =>
+        val done = processed()
+        now.filterNot(e => done.contains(e.path))
+    }
   }
 
   /** worst-fit decreasing: sort by size desc, place each into the currently
@@ -133,20 +182,48 @@ final class IncrementalFileSource(stateDir: String) {
     slots.toSeq.filter(_._1.nonEmpty).map(_._1.reverse.flatten)
   }
 
-  /** append pulled files to the ledger (atomic rename, re-run safe). */
+  /** Record pulled files: write ONE new ledger segment holding only `files`
+    * (atomic tmp+rename publish) — O(new files), the ledger is never
+    * rewritten. A crash before the rename leaves an invisible tmp; the worst
+    * case is a re-pull, which the fence and LWW merge make idempotent. Auto-
+    * compacts when segments exceed `maxSegments` (amortized maintenance). */
   def markProcessed(files: Seq[FileEntry]): Unit = {
+    if (files.isEmpty) return
     val f = stateFs
-    val all = processed() ++ files.map(_.path)
-    val tmp = new HPath(stateRoot,
-      s".processed_files-${System.nanoTime()}.txt.tmp")
+    val seg = new HPath(ledgerDir, s"seg-${System.nanoTime()}.txt")
+    val tmp = new HPath(ledgerDir, s".${seg.getName}.tmp")
     val out = f.create(tmp, false)
-    try out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(
+      files.map(_.path).sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    // rename-with-replace: delete-then-rename is fine for the ledger (the
-    // worst case of a crash between the two is a re-pull, which the fence
-    // and LWW merge already make idempotent)
-    f.delete(ledgerPath, false)
-    if (!f.rename(tmp, ledgerPath))
-      throw new IllegalStateException(s"ledger publish failed: $ledgerPath")
+    if (!f.rename(tmp, seg))
+      throw new IllegalStateException(s"ledger segment publish failed: $seg")
+    if (segmentCount() > maxSegments) compactLedger()
+  }
+
+  /** Merge all ledger segments (legacy file included) into one. Crash-safe:
+    * the merged segment is published by rename BEFORE the inputs are
+    * deleted, and its nanotime name sorts after them, so a crash mid-delete
+    * only leaves duplicate entries — harmless to a set-semantics diff. */
+  def compactLedger(): Unit = {
+    val f = stateFs
+    val segs = segments()
+    if (segs.size <= 1) return
+    val merged = new HPath(ledgerDir, s"seg-${System.nanoTime()}.txt")
+    val tmp = new HPath(ledgerDir, s".${merged.getName}.tmp")
+    val out = f.create(tmp, false)
+    try {
+      // stream segment-by-segment: never the whole ledger in memory
+      segs.foreach { p =>
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty)
+          .foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+        finally in.close()
+      }
+    } finally out.close()
+    if (!f.rename(tmp, merged))
+      throw new IllegalStateException(s"ledger compaction publish failed: $merged")
+    segs.foreach(p => f.delete(p, false))
   }
 }

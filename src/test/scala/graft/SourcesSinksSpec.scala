@@ -36,6 +36,40 @@ class SourcesSinksSpec extends SparkSpec {
     assert(src.plan(data, 2).files.isEmpty)
   }
 
+  test("ledger is append-only segments; auto-compaction bounds segment count") {
+    // scale contract: markProcessed writes ONE new segment per call (O(new
+    // files) — never a rewrite of ledger history); segments merge only when
+    // they exceed maxSegments (amortized maintenance).
+    val src = new IncrementalFileSource(tmpDir("seg-state"), maxSegments = 4)
+    def fe(i: Int) = IncrementalFileSource.FileEntry(s"file:/x/f$i.parquet", 10L)
+    (0 until 4).foreach(e => src.markProcessed(Seq(fe(2 * e), fe(2 * e + 1))))
+    assert(src.segmentCount() == 4, "one segment per markProcessed call")
+    assert(src.processed() == (0 until 8).map(i => s"file:/x/f$i.parquet").toSet)
+    src.markProcessed(Seq(fe(8))) // 5th segment exceeds the cap
+    assert(src.segmentCount() == 1, "auto-compaction must merge segments")
+    assert(src.processed() == (0 to 8).map(i => s"file:/x/f$i.parquet").toSet,
+      "compaction must lose nothing")
+  }
+
+  test("legacy single-file ledger is honored and folded in on compaction") {
+    val state = tmpDir("legacy-state")
+    Files.createDirectories(Paths.get(state))
+    Files.write(Paths.get(s"$state/processed_files.txt"),
+      "file:/x/old.parquet\n".getBytes("UTF-8"))
+    val src = new IncrementalFileSource(state)
+    assert(src.processed() == Set("file:/x/old.parquet"))
+    src.markProcessed(
+      Seq(IncrementalFileSource.FileEntry("file:/x/new.parquet", 1L)))
+    assert(src.processed() ==
+      Set("file:/x/old.parquet", "file:/x/new.parquet"))
+    src.compactLedger()
+    assert(src.segmentCount() == 1)
+    assert(!Files.exists(Paths.get(s"$state/processed_files.txt")),
+      "legacy ledger file must fold into the merged segment")
+    assert(src.processed() ==
+      Set("file:/x/old.parquet", "file:/x/new.parquet"))
+  }
+
   test("file source skips hidden/_temporary paths (in-flight writer files)") {
     val dir = tmpDir("hidden")
     val src = new IncrementalFileSource(tmpDir("hidden-state"))
