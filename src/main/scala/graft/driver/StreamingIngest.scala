@@ -22,6 +22,15 @@ import org.apache.spark.sql.streaming.Trigger
  * Note batchId is used as epochId: Spark guarantees a replayed batchId
  * re-delivers the same data, and the offset fence turns the replay into a
  * no-op commit.
+ *
+ * Mid-stream schema drift (`trackSchemaDrift = true`): the log is read with
+ * an extra nullable `schemaId` column and each micro-batch first steps the
+ * table's schema forward to the batch's maximum id via [[SchemaDrift.sync]]
+ * (validated add/rename/widen hops, each an atomic metadata commit) before
+ * the merge writes data files under the new id — the
+ * KafkaSchemaChangeInjector pattern collapsed to the batch boundary
+ * (gobblin-modules/gobblin-kafka-common/.../converter/
+ * KafkaSchemaChangeInjector.java:84-117).
  */
 object StreamingIngest {
 
@@ -34,19 +43,32 @@ object StreamingIngest {
       stateDir: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      viewName: Option[String] = None) = {
+      viewName: Option[String] = None,
+      trackSchemaDrift: Boolean = false) = {
     import spark.implicits._
-    val schema = spark.emptyDataset[ChangeEvent].schema
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val eventSchema = spark.emptyDataset[ChangeEvent].schema
+    val schema =
+      if (trackSchemaDrift)
+        org.apache.spark.sql.types.StructType(
+          eventSchema.fields :+ StructField("schemaId", IntegerType, true))
+      else eventSchema
     var reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n.toString))
-    val stream = reader.parquet(logDir).as[ChangeEvent]
+    val stream = reader.parquet(logDir)
 
     stream.writeStream
       .queryName("graft-cdc-ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
+      .foreachBatch { (raw: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // drift first: the table must reach the batch's schema BEFORE the
+        // merge so the data commit writes files under the evolved id
+        if (trackSchemaDrift) graft.table.SchemaDrift.sync(table, raw.toDF())
+        val batch: Dataset[ChangeEvent] =
+          (if (raw.columns.contains("schemaId")) raw.drop("schemaId")
+           else raw.toDF()).as[ChangeEvent]
         val prev = MergeEngine.committedHighs(table.currentManifest())
         val t0 = System.nanoTime()
         val out = MergeEngine.applyEpoch(spark, table, batch, batchId,
