@@ -67,12 +67,17 @@ object IngestMain {
         // snapshot retention.
         val tableDir = args(1)
         val keepLast = args.lift(2).map(_.toInt).getOrElse(3)
+        // files-per-bucket threshold: 1 = full pass (default), 2+ = scoped
+        // maintenance of fragmented buckets only
+        val minFiles = args.lift(3).map(_.toInt).getOrElse(1)
         val t = IceTable.create(tableDir)
-        val rep = graft.maintenance.Compaction.compact(spark, t)
+        val rep = graft.maintenance.Compaction.compact(spark, t, minFiles)
         val (ms, fs) = t.expireSnapshots(keepLast)
         println(f"mode=maintain version=${rep.version}%d " +
           f"purged_tombstones=${rep.purgedTombstones}%d " +
           f"live_rows=${rep.liveRows}%d files=${rep.files}%d " +
+          f"compacted_buckets=${rep.compactedBuckets}%d " +
+          f"carried_files=${rep.carriedFiles}%d " +
           f"expired_manifests=$ms%d deleted_files=$fs%d")
       case "replay-budgeted" =>
         // rate-controlled admission: a small probe epoch measures ingest

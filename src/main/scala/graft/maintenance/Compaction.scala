@@ -1,27 +1,36 @@
 package graft.maintenance
 
 import graft.merge.Intervals
-import graft.model.{EpochManifest, EpochStats}
+import graft.model.{DataFileEntry, EpochManifest, EpochStats}
 import graft.table.IceTable
 import org.apache.spark.sql.{Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Maintenance compaction (SURVEY.md §2.9): the reference runs verifier-gated
- * MapReduce compaction jobs per dataset (MRCompactor / CompactionSuite,
- * gobblin-compaction/.../MRCompactor.java; audit-count verifier
- * CompactionAuditCountVerifier.java). Spark-native version:
+ * MapReduce compaction jobs per dataset under a time budget (MRCompactor /
+ * CompactionSuite, gobblin-compaction/.../MRCompactor.java;
+ * CompactionSource.java:99,427 — per-dataset subsets, never the world;
+ * audit-count verifier CompactionAuditCountVerifier.java). Spark-native
+ * version, BUCKET-SCOPED:
  *
- *  - rewrite every bucket into one file (small-file control — the bi-level
- *    packer's goal, SURVEY.md §2.8),
+ *  - compact only buckets whose manifest file count reaches
+ *    `minFilesPerBucket` (the fragmentation signal available from metadata
+ *    alone); all other buckets' files carry forward BY REFERENCE — at 100 TB
+ *    you compact the fragmented slice, never rewrite the table,
+ *  - rewrite each selected bucket into one file (small-file control — the
+ *    bi-level packer's goal, SURVEY.md §2.8),
  *  - purge delete tombstones whose lastSeq lies at or below the SAFE
  *    horizon. Safe = the table's contiguous committed prefix: no future
  *    event can carry a smaller seq than the first committed gap, so a
  *    tombstone below it can never be out-raced by a late stale update.
- *  - verifier gate: live-row count must be identical before/after
- *    (compaction must never change the user-visible table), enforced from
- *    an Observation inside the rewrite job; on violation the new snapshot
- *    is NOT committed (files become unreferenced orphans).
+ *    (Tombstones in carried-forward buckets purge when those buckets are
+ *    eventually selected; a full pass is `minFilesPerBucket = 1`.)
+ *  - verifier gate in ONE pass: row counters ride the rewrite job as an
+ *    `Observation`, and the written files are checked against them via
+ *    parquet FOOTER record counts (metadata-only IO, no second data scan —
+ *    the r2 version re-read every written row to count it). On violation
+ *    the new snapshot is NOT committed (files become unreferenced orphans).
  */
 object Compaction {
 
@@ -37,14 +46,44 @@ object Compaction {
     Intervals.contiguousOriginPrefix(m.offsets)
 
   final case class CompactionReport(
-      version: Long, purgedTombstones: Long, liveRows: Long, files: Int)
+      version: Long,
+      purgedTombstones: Long,
+      liveRows: Long,          // live rows in the REWRITTEN buckets
+      files: Int,              // total files in the new snapshot
+      compactedBuckets: Int,
+      carriedFiles: Int)       // files carried forward by reference
 
-  def compact(spark: SparkSession, table: IceTable): CompactionReport = {
+  /** parquet footer record count — metadata-only read (no row data) */
+  private def footerRows(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** `minFilesPerBucket = 1` (default) is a full pass — every bucket
+    * rewrites and all safe tombstones purge (routine CoW merges leave one
+    * file per bucket, so a files-count threshold alone would never select
+    * them). Pass 2+ for scoped maintenance of salted/fragmented buckets. */
+  def compact(spark: SparkSession, table: IceTable,
+              minFilesPerBucket: Int = 1): CompactionReport = {
     val parent = table.currentManifest().getOrElse(
       throw new IllegalStateException("nothing to compact"))
     val horizon = safeHorizon(parent)
 
-    val raw = table.readRaw(spark)
+    // fragmentation from the manifest alone — no data IO to plan
+    val byBucket = parent.files.groupBy(_.bucket)
+    val fragBuckets = byBucket.collect {
+      case (b, fs) if fs.size >= minFilesPerBucket => b
+    }.toSet
+    val (fragFiles, carried) =
+      parent.files.partition(f => fragBuckets.contains(f.bucket))
+    if (fragFiles.isEmpty)
+      return CompactionReport(parent.version, 0, 0, parent.files.size, 0,
+        carried.size)
+
+    val raw = table.readFiles(spark, fragFiles, parent.schemaId)
     val obs = Observation(s"compact-${parent.version}")
     // null-safe: a null `deleted` must count as live AND survive the rewrite
     // (an un-coalesced filter(!NULL) would drop it while the live counter
@@ -54,6 +93,7 @@ object Compaction {
     val kept = raw
       .observe(obs,
         sum(when(purgeable, 1L).otherwise(0L)).as("purged"),
+        sum(when(!purgeable, 1L).otherwise(0L)).as("keptRows"),
         sum(when(!coalesce(col("deleted"), lit(false)), 1L).otherwise(0L))
           .as("liveBefore"))
       .filter(!purgeable)
@@ -65,21 +105,27 @@ object Compaction {
 
     val metrics = obs.get
     val purged = metrics("purged").asInstanceOf[Long]
+    val keptRows = metrics("keptRows").asInstanceOf[Long]
     val liveBefore = metrics("liveBefore").asInstanceOf[Long]
 
-    // verifier gate (audit-count analog): user-visible rows must not change
-    val liveAfter = table.readFiles(spark, newFiles, parent.schemaId)
-      .filter(!coalesce(col("deleted"), lit(false))).count()
-    require(liveAfter == liveBefore,
-      s"compaction verifier failed: live rows $liveBefore -> $liveAfter; aborting (no commit)")
+    // verifier gate (audit-count analog), single-pass: the PUBLISHED files'
+    // footer record counts must sum to the rows the rewrite job observed —
+    // no re-scan of the data. The footer pass also fills per-file row
+    // counts into the manifest entries.
+    val counted = newFiles.map(f => f.copy(rows = footerRows(spark, f.path)))
+    val writtenRows = counted.map(_.rows).sum
+    require(writtenRows == keptRows,
+      s"compaction verifier failed: rewrite observed $keptRows kept rows " +
+        s"but published files hold $writtenRows; aborting (no commit)")
 
     val manifest = parent.copy(
       version = parent.version + 1,
       epochId = compactionEpochId,
-      files = newFiles.sortBy(f => (f.bucket, f.path)),
+      files = (carried ++ counted).sortBy(f => (f.bucket, f.path)),
       stats = EpochStats(0, 0, 0, 0, 0, 0),
       parentVersion = parent.version)
     table.commit(manifest)
-    CompactionReport(manifest.version, purged, liveAfter, newFiles.size)
+    CompactionReport(manifest.version, purged, liveBefore,
+      manifest.files.size, fragBuckets.size, carried.size)
   }
 }

@@ -37,6 +37,47 @@ class CompactionSpec extends SparkSpec {
     assert(shaState(t) == before)
   }
 
+  test("bucket-scoped compaction rewrites only fragmented buckets") {
+    import spark.implicits._
+    import graft.model.{EpochManifest, EpochStats, OffsetRange}
+    val t = IceTable.create(tmpDir("scoped"), numBuckets = 32)
+    def rows(keys: Seq[Int], seqBase: Long) = keys.map(i =>
+        (s"r$i", s"p$i", "c" * 40, "scala", s"v$i",
+          OracleFold.sha256Hex(s"v$i")))
+      .toDF("repo", "path", "commit", "lang", "content", "contentSha")
+      .withColumn("bucket", t.bucketCol(col("repo"), col("path")))
+      .withColumn("lastSeq", lit(seqBase))
+      .withColumn("deleted", lit(false))
+    // two file generations: most buckets end with one file; buckets hit by
+    // BOTH generations are fragmented (≥2 files) and must be the ONLY ones
+    // compaction rewrites — everything else carries forward by reference.
+    val f0 = t.writeEpochFiles(rows(0 until 60, 1L), 0)
+    val f1 = t.writeEpochFiles(rows(60 until 66, 2L), 1)
+    val all = (f0 ++ f1).sortBy(f => (f.bucket, f.path))
+    val frag = all.groupBy(_.bucket).collect {
+      case (b, fs) if fs.size >= 2 => b }.toSet
+    assert(frag.nonEmpty && frag.size < all.map(_.bucket).distinct.size,
+      s"fixture must fragment SOME but not all buckets: $frag")
+    t.commit(EpochManifest(0, 1, 1, all,
+      (0 until 32).map(p => OffsetRange(p, -1L, 2L)),
+      EpochStats(66, 0, 0, 66, 0, 0), -1L))
+    val before = shaState(t)
+
+    val report = Compaction.compact(spark, t, minFilesPerBucket = 2)
+    assert(report.compactedBuckets == frag.size,
+      s"exactly the fragmented buckets compact: $report")
+    val m2 = t.currentManifest().get
+    val carriedPaths = all.filterNot(f => frag.contains(f.bucket))
+      .map(_.path).toSet
+    assert(carriedPaths.subsetOf(m2.files.map(_.path).toSet),
+      "non-fragmented buckets' files must carry forward by reference")
+    frag.foreach(b => assert(m2.files.count(_.bucket == b) == 1,
+      s"fragmented bucket $b must collapse to one file"))
+    // rewritten entries carry footer-verified per-file row counts
+    assert(m2.files.filter(f => frag.contains(f.bucket)).forall(_.rows > 0))
+    assert(shaState(t) == before, "user table must be unchanged")
+  }
+
   test("safeHorizon respects committed-interval gaps") {
     import graft.model.{EpochManifest, EpochStats, OffsetRange}
     val m = EpochManifest(0, 0, 1, Nil,
