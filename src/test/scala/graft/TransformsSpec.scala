@@ -81,6 +81,44 @@ class TransformsSpec extends SparkSpec {
     assert(back == ChangeEvent("u", 11L, "rr", "pp", "cc", "ll", "vv"))
   }
 
+  test("registry-resolved Avro envelope: two vintages through one stream") {
+    import graft.functions.AvroEnvelope
+    // one binary stream interleaving records written under vintage 1 (no
+    // sourceRegion field) and vintage 2; the consumer decodes each record
+    // against the LATEST schema via Avro writer->reader resolution.
+    val rows = Seq(
+      ("u", 1L, "r", "p1", "c" * 40, "scala", "body1", "eu"),
+      ("d", 2L, "r", "p2", "c" * 40, "scala", null, "us"))
+      .toDF("op", "seq", "repo", "path", "commit", "lang", "content",
+        "sourceRegion")
+    val env = struct(col("op"), col("seq"), col("repo"), col("path"),
+      col("commit"), col("lang"), col("content"), col("sourceRegion"))
+    val stream =
+      rows.filter($"seq" === 1)
+        .select(AvroEnvelope.toAvroRegistry(env, 1).as("payload"))
+      .union(rows.filter($"seq" === 2)
+        .select(AvroEnvelope.toAvroRegistry(env, 2).as("payload")))
+    val decoded = stream
+      .select(AvroEnvelope.fromAvroRegistry($"payload").as("e"))
+      .select("e.*").orderBy("seq").collect()
+    // vintage-1 record: writer had no sourceRegion -> reader default null
+    assert(decoded(0).getAs[String]("op") == "u" &&
+      decoded(0).getAs[String]("content") == "body1" &&
+      decoded(0).getAs[String]("sourceRegion") == null,
+      s"v1 body must resolve with default-null sourceRegion: ${decoded(0)}")
+    // vintage-2 record: field round-trips; null content (delete) survives
+    assert(decoded(1).getAs[String]("sourceRegion") == "us" &&
+      decoded(1).getAs[String]("content") == null, s"${decoded(1)}")
+    // unknown id and malformed framing decode to NULL (quarantinable), not
+    // a task kill
+    val junk = Seq(
+      Tuple1(Array[Byte](0, 0, 0, 0, 99, 1, 2, 3)), // unknown id 99
+      Tuple1(Array[Byte](7, 7)))                     // bad magic/short
+      .toDF("payload")
+      .select(AvroEnvelope.fromAvroRegistry($"payload").as("e"))
+    assert(junk.filter($"e".isNull).count() == 2)
+  }
+
   test("markDeletes rewrites op by predicate (ObjectStoreDelete analog)") {
     val out = Transform.markDeletes($"path".endsWith(".md"))(df)
     assert(out.filter($"op" === "d").count() == 1)
