@@ -41,9 +41,21 @@ object StreamOps {
     * the watermark; in-allowance stragglers merge into the open session
     * without ever moving its bounds backwards (no inverted sessions).
     * Event-time (not processing-time) timeouts keep the operator
-    * deterministic: emission is driven by the data's own clock. */
+    * deterministic: emission is driven by the data's own clock.
+    *
+    * Hot-key guard: a key's micro-batch folds in chunks of at most
+    * `maxBufferPerKey` events — a hot key with millions of events in one
+    * batch never materializes in task memory at once (the naive
+    * sort-the-whole-batch fold OOMs there). Each chunk is sorted and folded
+    * into the running state; the straggler-merge rule absorbs cross-chunk
+    * disorder, so for a batch whose internal disorder stays within the
+    * session gap (in particular any time-ordered source) the chunked fold
+    * equals the global-sort fold exactly. Only an event arriving EARLIER
+    * than a prior chunk by more than the gap merges into the open session
+    * instead of retro-splitting it — the bounded-memory trade. */
   def sessionize(events: Dataset[Event], gapMillis: Long,
-                 lateness: String = "0 milliseconds")
+                 lateness: String = "0 milliseconds",
+                 maxBufferPerKey: Int = 100000)
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     // +1s bookkeeping offset: the stateful late-row filter drops rows with
@@ -67,25 +79,32 @@ object StreamOps {
             state.remove()
             Iterator.single(SessionOut(userId, s.start, s.last, s.nEvents))
           } else {
-            // fold this batch's events (sorted by time) into session state,
-            // emitting every session closed by a gap
-            val sorted = batch.toSeq.sortBy(_.tsMillis)
+            // fold this batch's events into session state in BOUNDED chunks
+            // (see hot-key guard above), emitting every gap-closed session
             var cur = state.getOption
             val out = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.tsMillis - s.last > gapMillis =>
-                  out += SessionOut(userId, s.start, s.last, s.nEvents)
-                  cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
-                case Some(s) =>
-                  // an in-allowance straggler (ts <= last) joins the session
-                  // but must not drag its bounds backwards
-                  cur = Some(SessionState(math.min(s.start, e.tsMillis),
-                    math.max(s.last, e.tsMillis), s.nEvents + 1))
-                case None =>
-                  cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+            def fold(e: Event): Unit = cur match {
+              case Some(s) if e.tsMillis - s.last > gapMillis =>
+                out += SessionOut(userId, s.start, s.last, s.nEvents)
+                cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+              case Some(s) =>
+                // an in-allowance straggler (ts <= last) joins the session
+                // but must not drag its bounds backwards
+                cur = Some(SessionState(math.min(s.start, e.tsMillis),
+                  math.max(s.last, e.tsMillis), s.nEvents + 1))
+              case None =>
+                cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+            }
+            val buf = new scala.collection.mutable.ArrayBuffer[Event]()
+            val byTime = Ordering.by((e: Event) => e.tsMillis)
+            batch.foreach { e =>
+              buf += e
+              if (buf.length >= maxBufferPerKey) {
+                buf.sortInPlace()(byTime).foreach(fold)
+                buf.clear()
               }
             }
+            buf.sortInPlace()(byTime).foreach(fold)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMillis + 1000L)

@@ -108,6 +108,23 @@ class OperatorsSpec extends SparkSpec {
     assert(cc.values.count(_._2) == 3, "one survivor per cluster")
   }
 
+  test("large-star/small-star converges on a long chain in O(log n) rounds") {
+    import graft.operators.DedupClusters
+    // a 4096-long chain is the adversarial case for label propagation
+    // (O(diameter) = 4096 rounds); star rewriting must collapse it in
+    // O(log n) — and every node must still label to the chain minimum.
+    val n = 4096L
+    val pairs = spark.range(1, n)
+      .select((col("id") - 1).as("doc_a"), col("id").as("doc_b"))
+    val (labels, rounds) =
+      DedupClusters.connectedComponentsWithStats(pairs)
+    assert(rounds <= 16,
+      s"a $n-chain must converge in O(log n) rounds, took $rounds")
+    assert(labels.filter(col("cluster") =!= 0L).count() == 0,
+      "every chain node must label to the minimum id 0")
+    assert(labels.count() == n)
+  }
+
   test("df cap drops degenerate hot keys: all-identical corpus stays linear") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

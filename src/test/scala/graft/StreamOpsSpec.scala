@@ -74,6 +74,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(!sessions.exists(s0 => s0.user_id == 1L && s0.startMillis == 100000L))
   }
 
+  test("hot key: a large single-key batch folds in bounded chunks") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // 20k events for ONE key in ONE micro-batch, folded with a 1k-event
+    // buffer: the chunked fold must stay memory-bounded yet produce the
+    // exact gap-split sessions of a global-sort fold.
+    val nSessions = 4
+    val perSession = 5000
+    val events = for {
+      si <- 0 until nSessions
+      ei <- 0 until perSession
+    } yield StreamOps.Event(1L, si * 200000L + ei, "e")
+    val ms = MemoryStream[StreamOps.Event]
+    ms.addData(events: _*)
+    val qn = s"sesshot_${System.nanoTime()}"
+    val q = StreamOps.sessionize(ms.toDS(), gapMillis = 30000L,
+        maxBufferPerKey = 1000)
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .option("checkpointLocation", tmpDir("sck3")).start()
+    q.processAllAvailable()
+    // far-future event gap-closes the final session
+    ms.addData(StreamOps.Event(1L, 10000000L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table(qn).as[StreamOps.SessionOut].collect()
+      .sortBy(_.startMillis)
+    assert(sessions.length == nSessions, s"got ${sessions.toSeq}")
+    sessions.zipWithIndex.foreach { case (s0, i) =>
+      assert(s0.startMillis == i * 200000L &&
+        s0.endMillis == i * 200000L + perSession - 1 &&
+        s0.nEvents == perSession,
+        s"session $i wrong under chunked fold: $s0")
+    }
+  }
+
   test("sessionize: cross-batch late event never inverts or splits a session") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
