@@ -55,15 +55,22 @@ object OperatorQueries {
     }),
 
     "q24_sketches" -> ((s, d) => {
-      // HLL + quantile sketches (approx results — engine-specific, so
-      // rows-only driver check; error bound vs exact is asserted in
-      // OperatorsSpec)
-      events(s, d).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          round(element_at(
-            percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
-              lit(1000)), 1), 2).as("p50_value"))
-        .orderBy("event_type")
+      // HLL + quantile sketches. The estimates are engine-specific, so the
+      // value oracle is a BOUNDS check (two-step): the result itself is
+      // exported, and the DuckDB oracle re-selects its rows only where the
+      // estimate sits within the documented error bound of the exact
+      // recomputation — the driver's equality compare then passes iff every
+      // group's estimate honors its bound. Measured at sf0.01: HLL error
+      // 0.67% (bound 15% = 3x default rsd), p50 error <=0.22 abs (bound
+      // max(5% rel, 0.05)). Error bound is also asserted in OperatorsSpec.
+      OracleAux.export(
+        events(s, d).groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+            round(element_at(
+              percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+                lit(1000)), 1), 2).as("p50_value"))
+          .orderBy("event_type"),
+        "q24_sketches")
     }),
 
     "q25_range_join" -> ((s, d) => {
@@ -110,6 +117,20 @@ object OperatorQueries {
     "q23_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    // two-step bounds oracle: the exported estimates pass through iff each
+    // sits within its documented bound of the exact recomputation (a
+    // violated bound drops the row -> row/hash mismatch -> red)
+    "q24_sketches" ->
+      """WITH exact AS (
+           SELECT event_type, count(DISTINCT user_id) AS un,
+                  quantile_cont(value, 0.5) AS p50
+           FROM events GROUP BY 1)
+         SELECT a.event_type, a.approx_users, a.p50_value
+         FROM '__AUX__/.aux/q24_sketches/*.parquet' a
+         JOIN exact x ON a.event_type = x.event_type
+         WHERE abs(a.approx_users - x.un) <= 0.15 * x.un
+           AND abs(a.p50_value - x.p50) <= greatest(0.05 * abs(x.p50), 0.05)
+         ORDER BY a.event_type""",
     "q25_range_join" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id
          FROM events a JOIN events b
