@@ -83,7 +83,11 @@ object Compaction {
       return CompactionReport(parent.version, 0, 0, parent.files.size, 0,
         carried.size)
 
-    val raw = table.readFiles(spark, fragFiles, parent.schemaId)
+    // read IN PLACE per bucket (DSv2 bucket scan): the rewrite is then
+    // filter → write with ZERO shuffle — each bucket's task reads its own
+    // files and writes its own compacted file (alignedByBucket skips the
+    // repartition). At 100 TB compaction moves no rows across the network.
+    val raw = table.readFilesBucketAligned(spark, fragFiles, parent.schemaId)
     val obs = Observation(s"compact-${parent.version}")
     // null-safe: a null `deleted` must count as live AND survive the rewrite
     // (an un-coalesced filter(!NULL) would drop it while the live counter
@@ -101,7 +105,7 @@ object Compaction {
     // unique data dir per compaction, disjoint from ingest epoch ids
     val compactionEpochId = 1000000000L + parent.version
     val newFiles = table.writeEpochFiles(kept, compactionEpochId,
-      parent.schemaId)
+      parent.schemaId, alignedByBucket = true)
 
     val metrics = obs.get
     val purged = metrics("purged").asInstanceOf[Long]

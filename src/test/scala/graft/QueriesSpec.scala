@@ -19,9 +19,8 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has either an oracle or a documented rows-only check") {
+  test("every query has a value oracle (q24 gained a two-step bounds oracle)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q24_sketches"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
   }
 }
