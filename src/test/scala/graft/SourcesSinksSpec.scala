@@ -130,6 +130,47 @@ class SourcesSinksSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("time-range reader prunes to the requested dirs (date-partitioned src)") {
+    import graft.sources.PartitionedRead
+    val out = tmpDir("tread")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    Writers.timePartitioned(events, "ts", out, granularity = "day",
+      coalescePartitions = Some(2))
+    val days = events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy("d").as[String].collect()
+    val (from, to) = (days(0), days(math.min(2, days.length - 1)))
+    val got = PartitionedRead.timeRange(spark, out, from, to)
+      .getOrElse(fail("range must exist"))
+    val expected = events
+      .filter(date_format(col("ts"), "yyyy-MM-dd").between(from, to)).count()
+    assert(got.count() == expected, s"range [$from,$to]")
+    // PLANNING-time pruning: every scanned file lies under an in-range dir —
+    // nothing outside the range is even listed
+    val dirs = PartitionedRead.candidateDirs(from, to).toSet
+    assert(got.inputFiles.nonEmpty &&
+      got.inputFiles.forall(f => dirs.exists(d => f.contains(d))),
+      s"scan must touch only in-range dirs: ${got.inputFiles.take(3).toSeq}")
+    // empty increment: no candidate dir exists
+    assert(PartitionedRead.timeRange(spark, out, "1999-01-01", "1999-01-02")
+      .isEmpty)
+  }
+
+  test("regex-partitioned reader derives watermark columns from file paths") {
+    import graft.sources.PartitionedRead
+    val out = tmpDir("rread")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    Writers.timePartitioned(events, "ts", out, granularity = "day",
+      coalescePartitions = Some(1))
+    val df = PartitionedRead.regexPartitioned(spark, out,
+      ".*/yyyy=(\\d{4})/mm=(\\d{2})/dd=(\\d{2})/.*",
+      Seq("p_yyyy", "p_mm", "p_dd"))
+    // path-derived columns agree with the layout's inferred partition cols
+    assert(df.filter(col("p_yyyy") =!= col("yyyy") ||
+      col("p_mm") =!= col("mm") || col("p_dd") =!= col("dd")).count() == 0)
+    assert(df.count() == events.count())
+  }
+
   test("byColumns writer partitions by arbitrary columns; json format works") {
     val out = tmpDir("csink")
     val events = spark.read
