@@ -54,12 +54,28 @@ object Compaction {
       carriedFiles: Int)       // files carried forward by reference
 
   /** parquet footer record count — metadata-only read (no row data) */
-  private def footerRows(spark: SparkSession, path: String): Long = {
+  private def footerRows(conf: org.apache.hadoop.conf.Configuration,
+                         path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(p, spark.sessionState.newHadoopConf())
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  /** footer counts for all files through a bounded thread pool — one
+    * serial driver loop over thousands of object-store footers would stall
+    * for minutes; 16 concurrent metadata reads keep it flat. */
+  private def footerRowsAll(conf: org.apache.hadoop.conf.Configuration,
+                            files: Seq[DataFileEntry]): Seq[DataFileEntry] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      files.map(f => f -> pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = footerRows(conf, f.path)
+        }))
+        .map { case (f, fut) => f.copy(rows = fut.get()) }
+    } finally { pool.shutdown(); () }
   }
 
   /** `minFilesPerBucket = 1` (default) is a full pass — every bucket
@@ -112,15 +128,29 @@ object Compaction {
     val keptRows = metrics("keptRows").asInstanceOf[Long]
     val liveBefore = metrics("liveBefore").asInstanceOf[Long]
 
-    // verifier gate (audit-count analog), single-pass: the PUBLISHED files'
-    // footer record counts must sum to the rows the rewrite job observed —
-    // no re-scan of the data. The footer pass also fills per-file row
-    // counts into the manifest entries.
-    val counted = newFiles.map(f => f.copy(rows = footerRows(spark, f.path)))
+    // Verifier gate (audit-count analog) — two independent checks, neither
+    // a data re-read:
+    //  1. the PUBLISHED files' footer record counts (metadata-only, read
+    //     through a bounded pool) must sum to the rows the rewrite observed
+    //     — catches loss between the filter and the publish, and fills
+    //     per-file row counts into the manifest entries;
+    //  2. an end-to-end live-row recount over the published files must
+    //     equal the live count the Observation saw BEFORE the rewrite —
+    //     catches a semantically wrong purge predicate (which check 1, fed
+    //     by the same filter, cannot). The recount scans ONLY the boolean
+    //     `deleted` column (column pruning — about a bit per row), not the
+    //     table data, so it is not the full second read this replaced.
+    val counted = footerRowsAll(spark.sessionState.newHadoopConf(), newFiles)
     val writtenRows = counted.map(_.rows).sum
     require(writtenRows == keptRows,
       s"compaction verifier failed: rewrite observed $keptRows kept rows " +
         s"but published files hold $writtenRows; aborting (no commit)")
+    val liveAfter = table.readFiles(spark, counted, parent.schemaId)
+      .filter(!coalesce(col("deleted"), lit(false)))
+      .count()
+    require(liveAfter == liveBefore,
+      s"compaction verifier failed: live rows $liveBefore -> $liveAfter; " +
+        "aborting (no commit)")
 
     val manifest = parent.copy(
       version = parent.version + 1,

@@ -72,7 +72,7 @@ object DedupClusters {
       .filter(col("a") =!= col("b"))
     val nodes = raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id")))
-      .distinct().persist()
+      .distinct()
     var edges = raw.distinct().localCheckpoint()
     var sig = signature(edges)
     var converged = edges.isEmpty
@@ -85,12 +85,16 @@ object DedupClusters {
       edges = next
       iter += 1
     }
-    // at fixpoint edges are (member → root) stars; roots label themselves
+    // At fixpoint edges are (member → root) stars; roots label themselves.
+    // The min-aggregate keeps the one-row-per-id invariant even if the loop
+    // exited at maxIter before fixpoint (or on a signature collision): a
+    // node with several residual out-edges still labels once, to its
+    // minimum reachable — never two conflicting rows.
     val labels = nodes
       .join(edges.select(col("a").as("id"), col("b").as("cluster")),
         Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-    nodes.unpersist()
+      .groupBy("id")
+      .agg(min(coalesce(col("cluster"), col("id"))).as("cluster"))
     (labels, iter)
   }
 

@@ -145,21 +145,16 @@ object Fork {
       val routed = b.chain(cached.filter(b.predicate))
         .observe(obs, count(lit(1)).as("n"))
       b.sink(routed)
-      // Observation metrics are posted by an async listener, so they can
-      // land a beat AFTER the sink's action returns — poll briefly before
-      // concluding the sink ran no action, else the count() fallback would
-      // silently re-run the whole branch plan (a second pass).
-      def polled: Option[Any] = {
-        val deadline = System.nanoTime() + 2000L * 1000000L
-        var r = org.apache.spark.sql.GraftSqlBridge.observationResult(obs)
-        while (r.isEmpty && System.nanoTime() < deadline) {
-          Thread.sleep(25)
-          r = org.apache.spark.sql.GraftSqlBridge.observationResult(obs)
-        }
-        r.flatMap(_.get("n"))
-      }
+      // Observation metrics are posted by the async listener bus, so they
+      // can land a beat AFTER the sink's action returns. Drain the bus
+      // (bounded) instead of sleep-polling a fixed budget: if it drains and
+      // the observation is STILL empty, the sink deterministically ran no
+      // action (a no-op sink costs ~nothing, not a 2 s stall) and the
+      // count() fallback runs the one legitimate pass.
+      org.apache.spark.sql.GraftSqlBridge
+        .drainListenerBus(df.sparkSession, 10000L)
       val n = org.apache.spark.sql.GraftSqlBridge.observationResult(obs)
-        .flatMap(_.get("n")).orElse(polled) match {
+        .flatMap(_.get("n")) match {
         case Some(v) => v.asInstanceOf[Long]
         case None => routed.count() // no action in the sink
       }

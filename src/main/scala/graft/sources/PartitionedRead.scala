@@ -47,18 +47,25 @@ object PartitionedRead {
     }
   }
 
-  /** all partition dirs intersecting [from, to] (inclusive), in order */
+  /** all partition dirs intersecting [from, to] (inclusive), in order.
+    * The iteration starts from `from` TRUNCATED to the granularity boundary:
+    * stepping from an unaligned instant (e.g. month granularity from
+    * "2024-01-31") would land past `to` before emitting the final in-range
+    * partition and silently drop its directory. */
   def candidateDirs(from: String, to: String,
                     granularity: String = "day"): Seq[String] = {
     val (lo, hi) = (parse(from), parse(to))
     require(!hi.isBefore(lo), s"empty range ($from, $to)")
-    val step: LocalDateTime => LocalDateTime = granularity match {
-      case "month" => _.plusMonths(1)
-      case "day" => _.plusDays(1)
-      case "hour" => _.plusHours(1)
+    val (floor, step): (LocalDateTime => LocalDateTime,
+                        LocalDateTime => LocalDateTime) = granularity match {
+      case "month" => (t => t.withDayOfMonth(1).toLocalDate.atStartOfDay(),
+        _.plusMonths(1))
+      case "day" => (t => t.toLocalDate.atStartOfDay(), _.plusDays(1))
+      case "hour" => (t => t.withMinute(0).withSecond(0).withNano(0),
+        _.plusHours(1))
       case g => throw new IllegalArgumentException(s"granularity $g")
     }
-    Iterator.iterate(lo)(step).takeWhile(!_.isAfter(hi))
+    Iterator.iterate(floor(lo))(step).takeWhile(!_.isAfter(hi))
       .map(partDir(_, granularity)).distinct.toSeq
   }
 

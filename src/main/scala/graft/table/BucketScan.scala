@@ -80,13 +80,7 @@ object BucketScan {
     } ++ Seq(ref("bucket"), ref("lastSeq"), ref("deleted"))
   }
 
-  private def sparkType(t: String): DataType = t match {
-    case "string" => StringType
-    case "int" => IntegerType
-    case "long" => LongType
-    case "double" => DoubleType
-    case other => throw new IllegalArgumentException(s"type $other")
-  }
+  private def sparkType(t: String): DataType = SchemaRegistry.sparkType(t)
 
   /** the parquet file schema a given vintage was written with */
   private def fileReadSchema(vintage: SchemaDef): StructType =

@@ -122,13 +122,17 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     * `FileSystem.rename` is NOT a safe CAS everywhere: on Raw/LocalFileSystem
     * it maps to POSIX rename(2), which silently REPLACES an existing
     * destination — two racing writers would both "win" and one snapshot
-    * would be clobbered. So where the scheme has an `AbstractFileSystem`
-    * binding (file://, hdfs://, ...), the rename goes through
-    * `FileContext.rename(src, dst, Options.Rename.NONE)`, whose contract is
-    * fail-on-existing-destination on every store (local included). Schemes
-    * without a binding fall back to `FileSystem.rename`; there the
-    * destination-exists guard narrows but cannot eliminate the window, and
-    * the `parentVersion` precondition remains the practical protection. */
+    * would be clobbered. Per scheme:
+    *  - `file://`: publish via `Files.createLink` — POSIX link(2) is atomic
+    *    and fails with EEXIST when the destination exists, a TRUE local CAS
+    *    (FileContext's local rename is only a non-atomic existence check in
+    *    front of rename(2)).
+    *  - schemes with an `AbstractFileSystem` binding (hdfs:// etc.):
+    *    `FileContext.rename(src, dst, Options.Rename.NONE)` — atomic
+    *    fail-on-existing at the namenode on HDFS-like stores.
+    *  - other schemes: best-effort exists-check + rename; the window cannot
+    *    be fully eliminated there and the `parentVersion` precondition is
+    *    the practical protection. */
   def commit(m: EpochManifest): Unit = {
     val f = fs
     val cur = currentVersion()
@@ -146,10 +150,21 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     }
   }
 
-  /** rename failing (false) when the destination exists; no-overwrite CAS
-    * via FileContext where the scheme supports it (see [[commit]]). */
+  /** publish `src` at `dst` failing (false) when the destination exists —
+    * the strongest no-overwrite primitive each scheme offers (see
+    * [[commit]]). */
   private def renameNoReplace(f: FileSystem, src: HPath, dst: HPath): Boolean =
-    try {
+    if (Option(f.getUri.getScheme).forall(_ == "file")) {
+      // atomic link(2) CAS; f.delete (not nio) also removes the local
+      // checksum shadow file of the tmp name
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        f.delete(src, false)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         f.getUri, f.getConf)
       fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE)

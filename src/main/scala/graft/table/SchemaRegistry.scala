@@ -27,7 +27,10 @@ object SchemaRegistry {
 
   val baseSchemaId = 1
 
-  private def sparkType(t: String): DataType = t match {
+  /** registry type name → Spark type — the ONE mapping every reader of
+    * registry schemas (Column-level evolve, BucketScan's Expression-level
+    * evolve) must share; adding a type here adds it everywhere. */
+  def sparkType(t: String): DataType = t match {
     case "string" => StringType
     case "int" => IntegerType
     case "long" => LongType

@@ -44,6 +44,17 @@ object GraftSqlBridge {
     // getOrEmpty NPEs (not empty-maps) when no action fired the observation
     scala.util.Try(o.getOrEmpty).toOption.filter(_.nonEmpty)
 
+  /** Block (bounded) until the shared listener bus has delivered every
+    * queued event; true if it drained. Observation metrics ride this bus,
+    * so after a successful drain "observation still empty" deterministically
+    * means "no action ran on the observed plan" — callers can fall back
+    * immediately instead of sleep-polling a fixed budget. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Boolean =
+    try {
+      spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+      true
+    } catch { case _: java.util.concurrent.TimeoutException => false }
+
   /** partition index HashPartitioning(intCol, numPartitions) assigns to
     * `value`: pmod(murmur3_32(value, seed=42), numPartitions). */
   def murmur3PartitionId(value: Int, numPartitions: Int): Int = {

@@ -154,6 +154,12 @@ class SourcesSinksSpec extends SparkSpec {
     // empty increment: no candidate dir exists
     assert(PartitionedRead.timeRange(spark, out, "1999-01-01", "1999-01-02")
       .isEmpty)
+    // unaligned range starts must not drop the final in-range partition
+    // (stepping month-wise from Jan 31 would skip mm=03)
+    assert(PartitionedRead.candidateDirs("2024-01-31", "2024-03-01", "month")
+      == Seq("yyyy=2024/mm=01", "yyyy=2024/mm=02", "yyyy=2024/mm=03"))
+    assert(PartitionedRead.candidateDirs("2024-01-01 23", "2024-01-03 01",
+      "day").last == "yyyy=2024/mm=01/dd=03")
   }
 
   test("regex-partitioned reader derives watermark columns from file paths") {
