@@ -182,6 +182,30 @@ final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
     slots.toSeq.filter(_._1.nonEmpty).map(_._1.reverse.flatten)
   }
 
+  /** FileBasedExtractor analog (gobblin-core/.../filebased/
+    * FileBasedExtractor.java + CsvFileDownloader / GZIPFileDownloader):
+    * materialize a plan's files as one DataFrame. Spark's own split
+    * planning replaces the reference's per-WorkUnit downloader loop — the
+    * bins remain the unit of ledger bookkeeping, while the scan plans
+    * splits itself (for non-splittable inputs like `.gz`, one task per
+    * file, which is exactly the downloader's granularity; Hadoop codecs
+    * decompress transparently for the text family: csv/json/text).
+    * `withSourceFile` adds the originating path for lineage. */
+  def extract(spark: SparkSession, plan: IncrementalFileSource.Plan,
+              format: String = "parquet",
+              options: Map[String, String] = Map.empty,
+              schema: Option[org.apache.spark.sql.types.StructType] = None,
+              withSourceFile: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(plan.files.nonEmpty, "cannot extract an empty plan")
+    var r = spark.read.format(format).options(options)
+    schema.foreach(s => r = r.schema(s))
+    val df = r.load(plan.files.map(_.path): _*)
+    if (withSourceFile)
+      df.withColumn("source_file",
+        org.apache.spark.sql.functions.input_file_name())
+    else df
+  }
+
   /** Record pulled files: write ONE new ledger segment holding only `files`
     * (atomic tmp+rename publish) — O(new files), the ledger is never
     * rewritten. A crash before the rename leaves an invisible tmp; the worst

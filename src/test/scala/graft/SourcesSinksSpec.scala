@@ -36,6 +36,31 @@ class SourcesSinksSpec extends SparkSpec {
     assert(src.plan(data, 2).files.isEmpty)
   }
 
+  test("extractor reads gzip csv through the snapshot-diff plan") {
+    // FileBasedExtractor analog: CSV + GZIP downloaders collapse to one
+    // spark.read over the planned files (codec decompression transparent;
+    // .gz is non-splittable so each file is one task — the downloader's own
+    // granularity); source_file lineage column from input_file_name().
+    val data = tmpDir("gz-data")
+    val state = tmpDir("gz-state")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "event_type")
+    events.coalesce(2).write
+      .option("header", "true").option("compression", "gzip")
+      .csv(s"$data/drop1")
+    val src = new IncrementalFileSource(state)
+    val plan = src.plan(data, nBins = 2, pattern = _.endsWith(".csv.gz"))
+    assert(plan.files.nonEmpty && plan.files.forall(_.path.endsWith(".csv.gz")))
+    val got = src.extract(spark, plan, format = "csv",
+      options = Map("header" -> "true", "inferSchema" -> "true"),
+      withSourceFile = true)
+    assert(got.count() == events.count())
+    assert(got.columns.contains("source_file") &&
+      got.select("source_file").distinct().count() == plan.files.size)
+    src.markProcessed(plan.files)
+    assert(src.plan(data, 2, _.endsWith(".csv.gz")).files.isEmpty)
+  }
+
   test("ledger is append-only segments; auto-compaction bounds segment count") {
     // scale contract: markProcessed writes ONE new segment per call (O(new
     // files) — never a rewrite of ledger history); segments merge only when
