@@ -44,7 +44,11 @@ object StreamingIngest {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
       viewName: Option[String] = None,
-      trackSchemaDrift: Boolean = false) = {
+      trackSchemaDrift: Boolean = false,
+      produceRate: Double = 0.0,
+      onHealth: RateControl.HealthReport => Unit = r =>
+        if (!r.healthy) System.err.println(
+          s"[graft] ingestion UNHEALTHY: ${r.reasons.mkString("; ")}")) = {
     import spark.implicits._
     import org.apache.spark.sql.types.{IntegerType, StructField}
     val eventSchema = spark.emptyDataset[ChangeEvent].schema
@@ -57,6 +61,15 @@ object StreamingIngest {
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n.toString))
     val stream = reader.parquet(logDir)
+
+    // sliding-window ingestion health over committed micro-batches (the
+    // KafkaIngestionHealthCheck loop the reference runs around its
+    // containers): consumption-vs-produce rate, watermark-lag spread,
+    // quarantine rate. `onHealth` is the container-abort hook — default
+    // logs; an operator can escalate (stop the query, page).
+    val tracker = new RateControl.ProduceRateTracker()
+    val history = scala.collection.mutable.ArrayBuffer
+      .empty[RateControl.EpochHealth]
 
     stream.writeStream
       .queryName("graft-cdc-ingest")
@@ -80,6 +93,16 @@ object StreamingIngest {
               out.manifest.offsets, out.stats)
             ReplayJob.writeMetrics(spark, d, batchId, secs, out)
           }
+        }
+        if (!out.skipped) {
+          val st = out.stats
+          tracker.update(0, st.rowsExtracted, secs)
+          history += RateControl.EpochHealth(batchId,
+            st.rowsExtracted / math.max(1e-9, secs),
+            watermarkLagSpread = MergeEngine.lagSpread(out.manifest.offsets),
+            quarantineRate = if (st.rowsExtracted > 0)
+              st.rowsQuarantined.toDouble / st.rowsExtracted else 0.0)
+          onHealth(RateControl.check(history.toSeq, produceRate))
         }
         viewName.foreach(n =>
           if (table.currentVersion() >= 0) table.registerView(spark, n))

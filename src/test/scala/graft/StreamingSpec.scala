@@ -133,6 +133,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming health check surfaces a growing backlog per micro-batch") {
+    import graft.driver.RateControl
+    val logDir = tmpDir("hlog")
+    val t = IceTable.create(tmpDir("htab"), numBuckets = 4)
+    writeSlice(logDir, 0, 8000) // 4 files -> 4 micro-batches below
+    val reports =
+      scala.collection.mutable.ArrayBuffer.empty[RateControl.HealthReport]
+    StreamingIngest.start(spark, logDir, tmpDir("hck"), t, nLogPartitions = 4,
+        maxFilesPerTrigger = Some(1), produceRate = 1e12,
+        onHealth = r => { reports += r; () })
+      .awaitTermination()
+    assert(reports.size >= 3, s"one verdict per committed batch: $reports")
+    assert(reports.take(2).forall(_.healthy),
+      "window not yet full -> healthy (not enough signal)")
+    assert(!reports.last.healthy &&
+      reports.last.reasons.exists(_.contains("consumption below produce")),
+      s"an unreachable produce rate must trip the backlog signal: $reports")
+  }
+
   test("checkpoint loss: batches replay but the offset fence makes them no-ops") {
     val logDir = tmpDir("slog3")
     val t = IceTable.create(tmpDir("stab3"), numBuckets = 4)
