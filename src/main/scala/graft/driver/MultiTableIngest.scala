@@ -52,4 +52,45 @@ object MultiTableIngest {
     }
     finally { cached.unpersist(); () }
   }
+
+  /** Dynamic dataset discovery — the reference's runtime-workunit-change
+    * model (`InfiniteSource`, and KafkaSource's `topic.pattern` discovery
+    * of topics that appear while the job runs): the dataset set is derived
+    * from the BATCH ITSELF by `datasetOf`, and a dataset never seen before
+    * gets its table created on the fly under `rootDir/<name>` and joins the
+    * commit cycle from this epoch on. Returns the outcomes plus the
+    * (possibly grown) table map to thread into the next epoch. Dataset
+    * names become directory names — `datasetOf` must yield fs-safe values.
+    */
+  def applyEpochDynamic(
+      spark: SparkSession,
+      rootDir: String,
+      known: Map[String, IceTable],
+      datasetOf: org.apache.spark.sql.Column,
+      events: Dataset[ChangeEvent],
+      epochId: Long,
+      nLogPartitions: Int = 32,
+      claimedRange: Option[(Long, Long)] = None,
+      numBuckets: Int = 32)
+      : (Seq[DatasetOutcome], Map[String, IceTable]) = {
+    import spark.implicits._
+    val cached = events.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ds = datasetOf.cast("string")
+      val names = cached.toDF().select(ds.as("d"))
+        .distinct().as[String].collect().sorted.toSeq
+      val tables = names.map(n =>
+        n -> known.getOrElse(n, IceTable.create(s"$rootDir/$n", numBuckets)))
+        .toMap
+      val outcomes = names.map { n =>
+        val slice = cached.toDF().filter(ds === n).as[ChangeEvent]
+        val out =
+          try Right(MergeEngine.applyEpoch(spark, tables(n), slice, epochId,
+            nLogPartitions, claimedRange = claimedRange))
+          catch { case scala.util.control.NonFatal(e) => Left(e) }
+        DatasetOutcome(n, out)
+      }
+      (outcomes, known ++ tables)
+    } finally { cached.unpersist(); () }
+  }
 }

@@ -46,6 +46,40 @@ class MultiTableSpec extends SparkSpec {
     assert(sizes.forall(_ > 0))
   }
 
+
+  test("dynamic dataset discovery: a mid-stream dataset joins at runtime") {
+    import graft.model.ChangeEvent
+    // the InfiniteSource / topic-pattern analog: epoch 0 carries only
+    // datasets a and b; epoch 1 introduces c, whose table must be created
+    // on the fly and join the commit cycle without disturbing a/b.
+    val root = tmpDir("dyn")
+    def ev(ds: String, i: Int, seq: Long) = ChangeEvent("i", seq,
+      s"$ds/r", s"p$i", f"$seq%040d", "scala", s"v-$ds-$seq")
+    val dsCol = split(col("repo"), "/").getItem(0)
+    val e0 = (0 until 10).map(i => ev(if (i % 2 == 0) "a" else "b", i, i.toLong))
+    val (out0, t0) = MultiTableIngest.applyEpochDynamic(spark, root,
+      Map.empty, dsCol, e0.toDS(), 0L, nLogPartitions = 2,
+      claimedRange = Some((-1L, 9L)), numBuckets = 2)
+    assert(t0.keySet == Set("a", "b"))
+    assert(out0.forall(_.outcome.isRight))
+    // epoch 1: dataset c appears mid-stream
+    val e1 = (10 until 16).map(i => ev(Seq("a", "c")(i % 2), i, i.toLong))
+    val (out1, t1) = MultiTableIngest.applyEpochDynamic(spark, root,
+      t0, dsCol, e1.toDS(), 1L, nLogPartitions = 2,
+      claimedRange = Some((9L, 15L)), numBuckets = 2)
+    assert(t1.keySet == Set("a", "b", "c"), "runtime-discovered dataset")
+    assert(out1.forall(_.outcome.isRight))
+    assert(t1("c").currentVersion() == 0 && t1("c").read(spark).count() == 3)
+    assert(t1("b").currentVersion() == 0, "absent dataset stays untouched")
+    assert(t1("a").read(spark).count() == 5 + 3)
+    // tables are independently replayable: re-applying epoch 1 is fenced
+    val (out2, _) = MultiTableIngest.applyEpochDynamic(spark, root,
+      t1, dsCol, e1.toDS(), 2L, nLogPartitions = 2,
+      claimedRange = Some((9L, 15L)), numBuckets = 2)
+    assert(out2.filter(o => Set("a", "c")(o.name))
+      .forall(_.outcome.toOption.exists(_.skipped)))
+  }
+
   test("a failing dataset aborts alone; others commit (SafeDatasetCommit)") {
     val good = DatasetRoute("good", col("repo").startsWith("org"),
       IceTable.create(tmpDir("mtg"), numBuckets = 4))
