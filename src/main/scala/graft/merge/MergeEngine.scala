@@ -53,9 +53,12 @@ object MergeEngine {
     * max_by aggregate. Bytes-based, not row-count-based: 2M long-string keys
     * would be a multi-hundred-MB broadcast (driver/executor OOM risk at 1000
     * executors) while 2M short keys are fine — the decision must follow the
-    * actual payload. */
-  private val maxBroadcastBytes: Long =
-    sys.env.getOrElse("SPARK_GRAFT_MAX_BCAST_BYTES", "67108864").toLong // 64 MB
+    * actual payload. Conf `spark.graft.maxBroadcastBytes` overrides per
+    * session (also how the fallback path is forced under test). */
+  private def maxBroadcastBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.maxBroadcastBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_MAX_BCAST_BYTES"))
+      .map(_.toLong).getOrElse(67108864L) // 64 MB
   private def timed[T](name: String)(f: => T): T =
     if (!timing) f else {
       val t0 = System.nanoTime()
@@ -354,7 +357,7 @@ object MergeEngine {
       else df.repartition(table.numBuckets, $"bucket")
 
     val deduped: org.apache.spark.sql.DataFrame =
-      if (winnerBytes <= maxBroadcastBytes) {
+      if (winnerBytes <= maxBroadcastBytes(spark)) {
         // phase B: winner rows via broadcast semi-equijoin on (key, seq),
         // then ONE layout shuffle by bucket (aligning with the merge join)
         // and a windowed rank that removes exact intra-batch duplicates —

@@ -135,6 +135,27 @@ class OutOfOrderSpec extends SparkSpec {
     t.read(spark).select("repo", "path", "contentSha").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
 
+  test("shuffle-fallback dedup (winner set too large to broadcast) converges") {
+    // force the non-broadcast path: with maxBroadcastBytes=0 every epoch
+    // takes the single-shuffle max_by(struct) aggregate. It must produce
+    // the same table as the broadcast argmax path: out-of-order epochs,
+    // intra-batch exact duplicates, tombstones — all identical to oracle.
+    spark.conf.set("spark.graft.maxBroadcastBytes", "0")
+    try {
+      assert(shaState(runOrder(Seq(3, 1, 0, 2))) == oracle,
+        "fallback dedup must converge to the oracle fold")
+      // intra-batch exact dups collapse in the aggregate itself
+      val t = IceTable.create(tmpDir("fbdup"), numBuckets = 2)
+      def ev(seq: Long, p: String, c: String) =
+        ChangeEvent("u", seq, "r", p, f"$seq%040d", "scala", c)
+      val out = MergeEngine.applyEpoch(spark, t,
+        Seq(ev(1, "p1", "v1"), ev(1, "p1", "v1"), ev(2, "p1", "v2")).toDS(),
+        0, nLogPartitions = 2)
+      assert(out.stats.rowsApplied == 1 && out.stats.dedupDrops == 2)
+      assert(shaState(t) == Map(("r", "p1") -> OracleFold.sha256Hex("v2")))
+    } finally spark.conf.unset("spark.graft.maxBroadcastBytes")
+  }
+
   test("gap-dense segment claims are capped; unclaimed seqs still ingest") {
     // adversarial unknown-provenance batch: ALTERNATING seqs → every seq is
     // its own contiguous run (100 runs here, millions in the wild). The
