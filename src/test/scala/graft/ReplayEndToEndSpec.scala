@@ -202,6 +202,47 @@ class ReplayEndToEndSpec extends SparkSpec {
     }
   }
 
+  test("merge plan stays flat in bucket count (one BatchScan at 128 buckets)") {
+    import scala.jdk.CollectionConverters._
+    // the r2 construction built numBuckets sub-plans + coalesce(1) each;
+    // the DSv2 scan must keep ONE scan node however many buckets exist
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    spark.conf.set("spark.graft.alignedScanMinBytes", "0")
+    try {
+      val t = IceTable.create(tmpDir("flat"), numBuckets = 128)
+      ReplayJob.replayGenerated(spark, t,
+        spec.copy(nEvents = 2000, nRepos = 40, nPathsPerRepo = 20),
+        nEpochs = 2, nLogPartitions = 4)
+      val deadline = System.currentTimeMillis() + 120000
+      def planOpt = captured.asScala.find(p =>
+        p.contains("FullOuter") && p.contains("graft_bucket_aligned"))
+      while (planOpt.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val plan = planOpt.getOrElse(fail(s"no merge plan in ${captured.size}"))
+      val mergeSection = plan.linesIterator
+        .takeWhile(x => !x.contains("InMemoryRelation") &&
+          !x.contains("== Initial Plan =="))
+        .toSeq
+      assert(mergeSection.count(_.contains("BatchScan")) == 1,
+        s"exactly ONE scan node regardless of bucket count:\n$plan")
+      assert(mergeSection.size < 60,
+        s"merge plan must not grow with bucket count " +
+          s"(${mergeSection.size} lines):\n$plan")
+    } finally {
+      spark.conf.unset("spark.graft.alignedScanMinBytes")
+      spark.listenerManager.unregister(l)
+    }
+  }
+
   test("skew: no reducer partition holds a disproportionate share") {
     // Zipf-hot repo must not translate into a hot merge partition: the merge
     // keys on (repo, path) buckets, so hot-repo events spread over its paths.
