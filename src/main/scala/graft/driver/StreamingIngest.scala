@@ -84,8 +84,20 @@ object StreamingIngest {
            else raw.toDF()).as[ChangeEvent]
         val prev = MergeEngine.committedHighs(table.currentManifest())
         val t0 = System.nanoTime()
-        val out = MergeEngine.applyEpoch(spark, table, batch, batchId,
-          nLogPartitions, stateDir.map(d => s"$d/quarantine"))
+        // the file-stream checkpoint never redelivers a committed batch, so
+        // a claim-run overflow must fail the epoch (uncommitted, stream
+        // replays it after the operator raises the cap) rather than
+        // truncate claims that would then freeze the horizons forever
+        val ovKey = "spark.graft.claimRunOverflow"
+        val ovPrev = spark.conf.getOption(ovKey)
+        spark.conf.set(ovKey, "fail")
+        val out =
+          try MergeEngine.applyEpoch(spark, table, batch, batchId,
+            nLogPartitions, stateDir.map(d => s"$d/quarantine"))
+          finally ovPrev match {
+            case Some(v) => spark.conf.set(ovKey, v)
+            case None => spark.conf.unset(ovKey)
+          }
         val secs = (System.nanoTime() - t0) / 1e9
         stateDir.foreach { d =>
           if (!out.skipped) {

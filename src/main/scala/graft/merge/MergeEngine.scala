@@ -153,35 +153,73 @@ object MergeEngine {
     // --- 1. converter chain + quality gate (Converter/RowLevelPolicy) ----
     val withPart = pipeline(rawEvents.toDF())
       .withColumn("logPart", logPartitionCol(nLogPartitions))
-    val good = withPart.filter(RowPolicies.passAll(rowPolicies))
-    val bad = withPart.filter(!RowPolicies.passAll(rowPolicies))
-      .withColumn("reason", RowPolicies.failReason(rowPolicies))
 
     // quarantine write + count in ONE pass (Observation rides the write
-    // job); a separate count() would re-scan the whole epoch input.
-    val quarantined: Long = quarantineDir match {
-      case Some(dir) =>
-        val qObs = Observation(s"quarantine-$epochId-${System.nanoTime()}")
-        bad.observe(qObs, count(lit(1)).as("n"))
-          .drop("logPart")
-          .write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
-        qObs.get("n").asInstanceOf[Long]
-      case None => 0L
+    // job); a separate count() would re-scan the whole epoch input. With NO
+    // quarantine sink configured, policy-discarded rows must still be
+    // COUNTED (a silent drop would under-report extraction and hide the
+    // discard from reconciliation): their count rides the winners aggregate
+    // below as an Observation on the shared input plan — no extra pass.
+    val inObs = Observation(s"input-$epochId-${System.nanoTime()}")
+    val withPartObs =
+      if (quarantineDir.isEmpty)
+        withPart.observe(inObs,
+          sum(when(!RowPolicies.passAll(rowPolicies), 1L).otherwise(0L))
+            .as("bad"))
+      else withPart
+    val good = withPartObs.filter(RowPolicies.passAll(rowPolicies))
+    val quarantinedEarly: Option[Long] = quarantineDir.map { dir =>
+      val bad = withPart.filter(!RowPolicies.passAll(rowPolicies))
+        .withColumn("reason", RowPolicies.failReason(rowPolicies))
+      val qObs = Observation(s"quarantine-$epochId-${System.nanoTime()}")
+      bad.observe(qObs, count(lit(1)).as("n"))
+        .drop("logPart")
+        .write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
+      qObs.get("n").asInstanceOf[Long]
     }
 
     // --- 2. offset-interval fence (exact-replay dedup) -------------------
+    // Plan shape is bounded in committed-interval count: small interval
+    // sets (the norm — normalize() keeps one merged interval per partition
+    // on contiguous logs) compile to a codegen'd Column tree; past the
+    // threshold (gap-dense segment histories, e.g. a dataset slice of a
+    // shared seq space) the fence becomes a BINARY SEARCH over a broadcast
+    // sorted-interval index — O(log n) per row, constant plan size, no
+    // 64KB-codegen or optimizer-depth blowup.
+    val totalIvs = committedIv.values.map(_.size).sum
     val fence: Column =
       if (committedIv.isEmpty) lit(true)
-      else committedIv.toSeq.sortBy(_._1).map { case (p, ivs) =>
-        val inside = ivs.map { case (lo, hi) =>
-          col("seq") > lo && col("seq") <= hi }.reduce(_ || _)
-        !(col("logPart") === p && inside)
-      }.reduce(_ && _)
+      else if (totalIvs <= 256)
+        committedIv.toSeq.sortBy(_._1).map { case (p, ivs) =>
+          val inside = ivs.map { case (lo, hi) =>
+            col("seq") > lo && col("seq") <= hi }.reduce(_ || _)
+          !(col("logPart") === p && inside)
+        }.reduce(_ && _)
+      else {
+        val idx: Map[Int, (Array[Long], Array[Long])] =
+          committedIv.map { case (p, ivs) =>
+            val s = ivs.sorted
+            p -> (s.map(_._1).toArray, s.map(_._2).toArray)
+          }
+        val bc = spark.sparkContext.broadcast(idx)
+        val inside = udf((p: Int, seq: Long) => bc.value.get(p) match {
+          case None => false
+          case Some((los, his)) =>
+            // greatest interval with lo < seq (intervals sorted, disjoint)
+            var l = 0; var r = los.length - 1; var ans = -1
+            while (l <= r) {
+              val m = (l + r) >>> 1
+              if (los(m) < seq) { ans = m; l = m + 1 } else r = m - 1
+            }
+            ans >= 0 && seq <= his(ans)
+        })
+        !inside(col("logPart"), col("seq"))
+      }
     val fresh = good.filter(fence)
 
     // --- 3. dedup: last-writer-wins by seq per key -----------------------
-    // Two-phase argmax: phase A aggregates ONLY (key → max/min seq, count) —
-    // a 24-byte-per-key state, so the scan is column-pruned to the envelope
+    // Two-phase argmax: phase A aggregates ONLY (key → max seq, count) —
+    // a 16-byte-per-key state, so the scan is column-pruned to the envelope
     // (payload columns are never materialized; with a columnar/expression
     // source the content bytes aren't even generated/decoded). Phase B
     // broadcast-joins the winner (key, seq) set back onto the stream to pick
@@ -191,26 +229,33 @@ object MergeEngine {
     val winners = fresh
       .groupBy($"repo", $"path")
       .agg(max($"seq").as("seq"),
-        count(lit(1)).as("nEvents"),
-        min($"seq").as("minSeq"),
-        first($"logPart").as("logPart"))
+        count(lit(1)).as("nEvents"))
       .withColumn("bucket", table.bucketCol($"repo", $"path"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try { // unpersist `winners` on every exit (skip, abort, commit)
 
-    // one small collect: counters, intervals, bucket pruning, broadcast
-    // sizing, all at once
-    val perGroup = timed("dedup+stats")(winners.groupBy($"bucket", $"logPart")
+    // one small collect (per-BUCKET rows): counters, bucket pruning,
+    // broadcast sizing, salting weights, all at once
+    val perGroup = timed("dedup+stats")(winners.groupBy($"bucket")
       .agg(count(lit(1)).as("nKeys"), sum($"nEvents").as("nEv"),
-        min($"minSeq").as("lo"), max($"seq").as("hi"),
-        sum(length($"repo") + length($"path")).as("keyBytes"))
+        sum(octet_length($"repo") + octet_length($"path")).as("keyBytes"))
       .collect())
     val freshCount = perGroup.map(_.getAs[Long]("nEv")).sum
     val upsertCountEarly = perGroup.map(_.getAs[Long]("nKeys")).sum
-    // estimated broadcast payload: key strings + ~48B row overhead
-    // (seq + bucket + object headers)
+    // estimated broadcast payload: key OCTETS (length() counts chars and
+    // would undercount multi-byte UTF-8 keys up to 3-4x against a gate
+    // whose whole point is actual bytes) + ~48B row overhead
     val winnerBytes = perGroup.map(_.getAs[Long]("keyBytes")).sum +
       48L * upsertCountEarly
+
+    val quarantined: Long = quarantinedEarly.getOrElse {
+      // the winners job above was the first action over the observed input
+      org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 10000L)
+      org.apache.spark.sql.GraftSqlBridge.observationResult(inObs)
+        .flatMap(_.get("bad"))
+        .map(v => if (v == null) 0L else v.asInstanceOf[Long])
+        .getOrElse(0L)
+    }
 
     // This epoch's claimed offset intervals, applied to EVERY partition —
     // including partitions with no events this epoch, which must still
@@ -256,9 +301,24 @@ object MergeEngine {
           .collect()
           .map(r => (r.getAs[Long]("v"), r.getAs[Int]("s")))
         // sorted boundaries strictly alternate start(s=1), end-marker(s=0);
-        // an odd count means the cap truncated a trailing unfinished run
+        // an odd count means the cap truncated a trailing unfinished run.
+        // Truncation is safe ONLY for re-observable sources (the unclaimed
+        // seqs come around again and the fence/LWW make the re-pull
+        // idempotent); an exactly-once checkpointed source never redelivers,
+        // so unclaimed-but-applied seqs would freeze the completeness and
+        // purge horizons forever — such callers (StreamingIngest) set
+        // spark.graft.claimRunOverflow=fail to abort the epoch UNCOMMITTED
+        // instead (operator raises the cap and restarts; the stream replays
+        // the batch).
         val complete =
           if (boundaries.length > 2 * cap) {
+            val policy = spark.conf
+              .getOption("spark.graft.claimRunOverflow").getOrElse("truncate")
+            if (policy == "fail")
+              throw new IllegalStateException(
+                s"segment-claim runs exceed cap=$cap under " +
+                  "claimRunOverflow=fail; raise spark.graft.maxClaimRuns " +
+                  "and retry (nothing was committed)")
             System.err.println(s"[graft] segment-claim runs exceed cap=$cap; " +
               s"claiming only the lowest $cap runs (rest re-observed later)")
             boundaries.take(2 * cap)
@@ -366,19 +426,24 @@ object MergeEngine {
         // cannot see. The window's ClusteredDistribution(bucket,·) is
         // satisfied by the bucket layout and its sort IS the merge join's
         // required sort order, so dedup costs no extra exchange or sort.
+        // Tie-break among same-(key, seq) rows is the LEXICOGRAPHIC MAX of
+        // (commit, op, lang, content) — the identical rule the fallback's
+        // max_by ordering applies, so which dedup path an epoch takes can
+        // never change the table.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"bucket", $"repo", $"path")
-          .orderBy($"commit") // deterministic pick among exact duplicates
+          .orderBy($"commit".desc, $"op".desc, $"lang".desc, $"content".desc)
         alignWinners(fresh.join(
           broadcast(winners.select($"repo", $"path", $"seq", $"bucket")),
           Seq("repo", "path", "seq")))
           .withColumn("_rn", row_number().over(w))
           .filter($"_rn" === 1).drop("_rn")
       } else {
+        // ordering struct mirrors the window tie-break above exactly
         alignWinners(fresh
           .groupBy($"repo", $"path")
           .agg(max_by(struct($"op", $"seq", $"commit", $"lang", $"content"),
-            $"seq").as("e"))
+            struct($"seq", $"commit", $"op", $"lang", $"content")).as("e"))
           .select($"repo", $"path", $"e.op".as("op"), $"e.seq".as("seq"),
             $"e.commit".as("commit"), $"e.lang".as("lang"),
             $"e.content".as("content"))
@@ -432,8 +497,7 @@ object MergeEngine {
 
     // adaptive hot-bucket salting: if one bucket holds a disproportionate
     // share of this epoch's keys, split its write across multiple tasks.
-    val bucketWeights = perGroup.groupBy(_.getAs[Int]("bucket"))
-      .map { case (_, rs) => rs.map(_.getAs[Long]("nKeys")).sum }
+    val bucketWeights = perGroup.map(_.getAs[Long]("nKeys")).toSeq
     val saltPerBucket =
       if (bucketWeights.size <= 1) 1
       else {

@@ -163,8 +163,20 @@ final class IceTable(val dir: String, val numBuckets: Int) {
           java.nio.file.Paths.get(src.toUri.getPath))
         f.delete(src, false)
         true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else try {
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          // store without hard links (VFAT/some FUSE mounts) or an odd
+          // layout: degrade to the rename path rather than failing every
+          // commit (the link CAS is an upgrade, not a requirement)
+          fileContextRenameNoReplace(f, src, dst)
+      }
+    } else fileContextRenameNoReplace(f, src, dst)
+
+  private def fileContextRenameNoReplace(f: FileSystem, src: HPath,
+      dst: HPath): Boolean =
+    try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         f.getUri, f.getConf)
       fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE)

@@ -2,22 +2,21 @@ package org.apache.spark.sql
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Murmur3HashFunction}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** Bridge into `private[sql]` Spark internals — the standard technique Spark
-  * extension libraries use on Spark 4's split API. Three escapes:
+  * extension libraries use on Spark 4's split API. The escapes:
   *   - Column↔Expression conversion (custom Catalyst expressions as Columns)
   *   - building a DataFrame over an RDD[InternalRow] WITH a declared output
   *     partitioning (`LogicalRDD`, the same internal Dataset.checkpoint
-  *     uses) — lets a source whose physical layout already satisfies a
-  *     distribution (one file group per hash bucket) report it to Catalyst
-  *     so downstream joins skip the Exchange entirely
-  *   - the exact murmur3 partition-id Catalyst computes for
-  *     `HashPartitioning` on an int column (needed to lay file groups out
-  *     on the partition index the claim promises) */
+  *     uses) — lets a side whose physical layout already satisfies a
+  *     distribution report it to Catalyst so downstream joins skip the
+  *     Exchange entirely (the key-grouped winner layout of the merge)
+  *   - DSv2 plumbing for the bucket scan: Spark's own parquet row reader,
+  *     PartitionedFile construction, and DataFrame-over-Table wiring */
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
@@ -55,13 +54,6 @@ object GraftSqlBridge {
       true
     } catch { case _: java.util.concurrent.TimeoutException => false }
 
-  /** partition index HashPartitioning(intCol, numPartitions) assigns to
-    * `value`: pmod(murmur3_32(value, seed=42), numPartitions). */
-  def murmur3PartitionId(value: Int, numPartitions: Int): Int = {
-    val h = Murmur3HashFunction.hash(value, IntegerType, 42L).toInt
-    val m = h % numPartitions
-    if (m < 0) m + numPartitions else m
-  }
 
   // ---- DSv2 storage-partitioned-scan support ------------------------------
 

@@ -156,6 +156,52 @@ class OutOfOrderSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.maxBroadcastBytes")
   }
 
+  test("both dedup paths pick the same winner among same-seq conflicts") {
+    // at-least-once delivery can produce two rows with the SAME (key, seq)
+    // but different payload (producer retry after a partial update): both
+    // dedup paths must apply one identical deterministic tie-break
+    // (lexicographic max of (commit, op, lang, content)), or the table
+    // would depend on which side of the broadcast threshold an epoch lands.
+    def ev(commit: Char, c: String) =
+      ChangeEvent("u", 5, "r", "p", commit.toString * 40, "scala", c)
+    def run(forceFallback: Boolean): Map[(String, String), String] = {
+      if (forceFallback) spark.conf.set("spark.graft.maxBroadcastBytes", "0")
+      try {
+        val t = IceTable.create(tmpDir(s"tie$forceFallback"), numBuckets = 2)
+        MergeEngine.applyEpoch(spark, t,
+          Seq(ev('b', "vB"), ev('a', "vA")).toDS(), 0, nLogPartitions = 2)
+        shaState(t)
+      } finally if (forceFallback)
+        spark.conf.unset("spark.graft.maxBroadcastBytes")
+    }
+    val viaBroadcast = run(forceFallback = false)
+    val viaFallback = run(forceFallback = true)
+    assert(viaBroadcast == viaFallback, "paths must agree bit-for-bit")
+    assert(viaBroadcast == Map(("r", "p") -> OracleFold.sha256Hex("vB")),
+      "max-commit row must win the tie deterministically")
+  }
+
+  test("claimRunOverflow=fail aborts a gap-dense epoch uncommitted") {
+    // an exactly-once source (streaming checkpoint) never redelivers, so
+    // truncated claims would freeze the horizons — the runner sets the
+    // fail policy and the epoch must abort with NO commit.
+    val t = IceTable.create(tmpDir("gapfail"), numBuckets = 2)
+    def ev(seq: Long) = ChangeEvent("u", seq, "r", s"p${seq % 7}",
+      f"$seq%040d", "scala", s"v$seq")
+    spark.conf.set("spark.graft.maxClaimRuns", "8")
+    spark.conf.set("spark.graft.claimRunOverflow", "fail")
+    try {
+      intercept[IllegalStateException] {
+        MergeEngine.applyEpoch(spark, t,
+          (0L until 200L by 2).map(ev).toDS(), 0, nLogPartitions = 2)
+      }
+      assert(t.currentVersion() == -1L, "no snapshot may commit on abort")
+    } finally {
+      spark.conf.unset("spark.graft.maxClaimRuns")
+      spark.conf.unset("spark.graft.claimRunOverflow")
+    }
+  }
+
   test("gap-dense segment claims are capped; unclaimed seqs still ingest") {
     // adversarial unknown-provenance batch: ALTERNATING seqs → every seq is
     // its own contiguous run (100 runs here, millions in the wild). The

@@ -47,6 +47,22 @@ class QuarantineSpec extends SparkSpec {
     assert(t.read(spark).filter(col("repo").isNull).count() == 0)
   }
 
+  test("policy-discarded rows are counted even WITHOUT a quarantine sink") {
+    // quarantineDir=None (the MultiTableIngest default): dropped rows must
+    // still appear in rowsQuarantined/rowsExtracted — a silent uncounted
+    // drop would hide the discard from reconciliation entirely. The count
+    // rides the winners aggregate as an Observation (no extra pass).
+    val t = IceTable.create(tmpDir("qnone"), numBuckets = 4)
+    val out = MergeEngine.applyEpoch(spark, t, saltedLog.toDS(), epochId = 0,
+      nLogPartitions = 4, quarantineDir = None)
+    assert(out.stats.rowsQuarantined == 6,
+      s"discards must be counted with no sink: ${out.stats}")
+    assert(out.stats.rowsExtracted == 106)
+    assert(out.stats.rowsExtracted == out.stats.rowsQuarantined +
+      out.stats.rowsApplied + out.stats.deletesApplied + out.stats.dedupDrops +
+      out.stats.staleDrops)
+  }
+
   test("Fail-severity task policy aborts the epoch: no snapshot committed") {
     val t = IceTable.create(tmpDir("qtab2"), numBuckets = 4)
     val strict = Seq(TaskPolicies.RowCountReconciliation(),
