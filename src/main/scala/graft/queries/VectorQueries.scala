@@ -147,6 +147,54 @@ object VectorQueries {
       pairs.orderBy(desc("cosine"), asc("vec_a"), asc("vec_b")).limit(20)
     }),
 
+    "v5_ivf_knn" -> ((s, d) => {
+      // IVF-style ANN (the second scale path next to LSH): a coarse
+      // quantizer partitions the corpus into K inverted lists (assignment =
+      // nearest centroid), a query probes only its nprobe closest lists,
+      // and the survivors re-rank with the exact integer cosine. At 100 TB
+      // the inverted lists are a partitioned table and candidate generation
+      // is an equijoin on cid — same join shape as v4, different geometry.
+      // Centroids here are the K lowest-id vectors (a deterministic stand-in
+      // for a k-means codebook, which would train offline; the IVF
+      // structure — assign/probe/re-rank — is identical), making every step
+      // exact integer arithmetic the oracle re-derives.
+      val K = 8
+      val nprobe = 2
+      val e = embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"), idot(col("q"), col("q")).as("nrm"))
+      val cents = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("nrm").as("cn"))
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
+          round(idot(col("q"), col("cq")).cast("double") /
+            sqrt(col("nrm").cast("double") * col("cn").cast("double")), 6)
+            .as("csim"))
+      val byCent = Window.partitionBy("vec_id")
+        .orderBy(desc("csim"), asc("cid"))
+      val ranked = scored.withColumn("crn", row_number().over(byCent))
+      val assign = ranked.filter(col("crn") === 1)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+      val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nrm").as("qn"), col("cid"))
+      val cands = assign.join(probes, Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(idot(col("q"), col("qq")).cast("double") /
+            sqrt(col("nrm").cast("double") * col("qn").cast("double")), 6)
+            .as("cosine"))
+        .dropDuplicates("query_id", "vec_id") // union across probed lists
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("cosine"), asc("vec_id"))
+      cands.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "v4_lsh_knn" -> ((s, d) => {
       // ANN retrieval end-to-end (the 100 TB shape): candidate generation is
       // a BUCKET EQUIJOIN per LSH table ((tbl, bucket) exploded — one
@@ -274,6 +322,61 @@ object VectorQueries {
            JOIN e eb ON eb.vec_id = c.vec_b)
          SELECT vec_a, vec_b, cosine FROM sim
          ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20""",
+    "v5_ivf_knn" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, qv,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nrm
+           FROM q),
+         cents AS (SELECT vec_id AS cid, qv AS cq, nrm AS cn
+                   FROM e WHERE vec_id < 8),
+         scored AS (
+           SELECT e.vec_id, e.qv, e.nrm, c.cid,
+                  round(
+                    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 65),
+                        i -> e.qv[CAST(i AS INT)] * c.cq[CAST(i AS INT)])),
+                      (a, b) -> a + b) AS DOUBLE)
+                    / sqrt(CAST(e.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)),
+                    6) AS csim
+           FROM e CROSS JOIN cents c),
+         ranked AS (
+           SELECT vec_id, qv, nrm, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY csim DESC, cid ASC) AS crn
+           FROM scored),
+         assign AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, qv AS qq, nrm AS qn, cid
+           FROM ranked WHERE vec_id < 5 AND crn <= 2),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.vec_id
+           FROM assign a JOIN probes p ON a.cid = p.cid
+           WHERE a.vec_id <> p.query_id),
+         sim AS (
+           SELECT c.query_id, c.vec_id,
+                  round(
+                    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 65),
+                        i -> ev.qv[CAST(i AS INT)] * eq.qv[CAST(i AS INT)])),
+                      (a, b) -> a + b) AS DOUBLE)
+                    / sqrt(CAST(ev.nrm AS DOUBLE) * CAST(eq.nrm AS DOUBLE)),
+                    6) AS cosine
+           FROM cand c
+           JOIN e ev ON ev.vec_id = c.vec_id
+           JOIN e eq ON eq.vec_id = c.query_id),
+         rk AS (
+           SELECT query_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rnk
+           FROM sim)
+         SELECT query_id, rnk, vec_id AS neighbor_id, cosine
+         FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""",
     "v4_lsh_knn" ->
       s"""WITH q AS (
            SELECT vec_id,
