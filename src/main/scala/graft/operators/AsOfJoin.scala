@@ -37,33 +37,36 @@ object AsOfJoin {
            payload: Seq[String],
            tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    // tag: right rows first at equal (key, ts)
+    // tag: right rows first at equal (key, ts). The payload travels as ONE
+    // never-null struct so `last(ignoreNulls)` tracks the latest right ROW
+    // as a whole — carrying fields independently would skip a legitimate
+    // NULL payload value and surface a STALE (or, with several payload
+    // columns, torn) match instead of the true latest row's null.
     val taggedLeft = left
       .withColumn("_k", col(keyL)).withColumn("_ts", col(tsL))
       .withColumn("_side", lit(1))
     val taggedRight = right
-      .select((Seq(col(keyR).as("_k"), col(tsR).as("_ts"), lit(0).as("_side"))
-        ++ payload.map(p => col(p).as(s"_p_$p"))): _*)
+      .select(col(keyR).as("_k"), col(tsR).as("_ts"), lit(0).as("_side"),
+        struct(payload.map(col): _*).as("_pay"))
     val unioned = taggedLeft.unionByName(taggedRight,
       allowMissingColumns = true)
 
     val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"_c_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
-    }
-    // tolerance: also carry the matched right ts and null out stale matches
-    val withMatchTs = carried.withColumn("_c_ts",
-      last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn("_c_pay", last(col("_pay"), ignoreNulls = true).over(w))
+      // tolerance: also carry the matched right ts to null out stale matches
+      .withColumn("_c_ts",
+        last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
     val fresh: Column = tolerance match {
       case Some(tol) => col("_c_ts").isNotNull && col("_c_ts") >= col("_ts") - tol
       case None => col("_c_ts").isNotNull
     }
-    withMatchTs
+    carried
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => when(fresh, col(s"_c_$p")).otherwise(lit(null))
-          .as(p)): _*)
+        payload.map(p => when(fresh, col("_c_pay").getField(p))
+          .otherwise(lit(null)).as(p)): _*)
   }
 
   /**

@@ -40,9 +40,10 @@ object RangeJoin {
         expandedLeft(keyL) === binnedRight("_rk") &&
           expandedLeft("_bin") === binnedRight("_bin"))
       .filter(abs(col(tsL) - col("_rts")) <= band)
-      .drop("_bin", "_rk")
-      .withColumnRenamed("_rts", "matched_ts")
-      .select(left.columns.map(col).toSeq ++ Seq(col("matched_ts")) ++
+      // output honors the contract exactly: left columns + payload, no
+      // internal columns leaking (a caller-owned name like "matched_ts"
+      // must never collide with join bookkeeping)
+      .select(left.columns.map(col).toSeq ++
         payload.map(p => col(s"_p_$p").as(p)): _*)
   }
 }

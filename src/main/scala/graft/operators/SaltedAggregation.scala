@@ -43,8 +43,11 @@ object SaltedAggregation {
       partial = Seq(countDistinct(col(valueCol)).as("_pd")),
       merge = Seq(sum(col("_pd")).as(as)))
 
-  /** per-key row counts with an explicit salted pre-shuffle — for feeding a
-    * skew-aware repartition before a heavy per-key stage. */
+  /** Per-key row counts, for feeding a skew-aware repartition before a
+    * heavy per-key stage. No salting NEEDED here: count is algebraic, so
+    * Spark's partial hash aggregation already collapses a hot key map-side
+    * (one combined row per task) — salting buys nothing for counts; it is
+    * for the non-algebraic aggregates `aggregate`/`distinctCount` handle. */
   def keyWeights(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("weight"))
 }

@@ -90,8 +90,13 @@ object CdcQueries {
       // offset fencing, dedup, CoW merge, manifest commits — must reproduce
       // the SQL fold byte-for-byte (sha256 parity via DuckDB oracle).
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-engine-q").toString
+      // ONE reusable work dir per source dataset (recreated per invocation):
+      // a fresh createTempDirectory each run leaked a full table copy under
+      // /tmp for every Verify/bench rep and would eventually fill the disk
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-engine-q-" +
+        Integer.toHexString(d.hashCode)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
       val table = IceTable.create(s"$tmp/table", numBuckets = 16)
       val log = deriveLog(s, d).as[ChangeEvent]
       val bounds = log.agg(min($"seq"), max($"seq")).head()

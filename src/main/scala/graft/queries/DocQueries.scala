@@ -75,15 +75,18 @@ object DocQueries {
       val nStop = size(filter(toks, t =>
         t.isin("the", "a", "and", "of", "to", "in")))
       val alphaLen = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      // zero divisors (empty doc) yield NULL ratios, not an ANSI
+      // DIVIDE_BY_ZERO kill — mirrors DuckDB's null-on-zero semantics
       documents(s, d)
         .withColumn("toks", tokens(col("text")))
         .select(
         col("doc_id"),
-        round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
-        round(alphaLen.cast("double") / length(col("text")), 4)
+        round(nStop.cast("double") / nullif(nTok, lit(0)), 4)
+          .as("stopword_ratio"),
+        round(alphaLen.cast("double") / nullif(length(col("text")), lit(0)), 4)
           .as("alpha_ratio"),
         round(length(regexp_replace(col("text"), "\\s+", ""))
-          .cast("double") / nTok, 4).as("mean_token_len"))
+          .cast("double") / nullif(nTok, lit(0)), 4).as("mean_token_len"))
         .orderBy("doc_id")
     }),
 
@@ -274,7 +277,7 @@ object DocQueries {
                      ELSE 'und' END AS predicted_lang
          FROM c ORDER BY doc_id""",
     "d5_jaccard_topk" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
            FROM documents),
          sh0 AS (
@@ -288,7 +291,7 @@ object DocQueries {
          sh AS (
            SELECT doc_id, sh FROM (
              SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
-             FROM sh0) WHERE df <= 64),
+             FROM sh0) WHERE df <= $maxDf),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -318,7 +321,7 @@ object DocQueries {
     // two-step oracle: consumes the Spark-exported minhash signature table
     // and re-derives banding, the df cap, and the candidate pairs in SQL.
     "d7_minhash_bands" ->
-      """WITH sig AS (
+      raw"""WITH sig AS (
            SELECT * FROM read_parquet('__AUX__/.aux/d7_sig/*.parquet')),
          banded0 AS (
            SELECT doc_id, 0 AS band,
@@ -336,7 +339,7 @@ object DocQueries {
            SELECT doc_id, band, bh FROM (
              SELECT doc_id, band, bh,
                     count(*) OVER (PARTITION BY band, bh) AS df
-             FROM banded0) WHERE df <= 64)
+             FROM banded0) WHERE df <= $maxDf)
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM banded a JOIN banded b
            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id

@@ -66,9 +66,8 @@ object OperatorQueries {
       OracleAux.export(
         events(s, d).groupBy("event_type")
           .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-            round(element_at(
-              percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
-                lit(1000)), 1), 2).as("p50_value"))
+            round(percentile_approx(col("value"), lit(0.5), lit(1000)), 2)
+              .as("p50_value"))
           .orderBy("event_type"),
         "q24_sketches")
     }),

@@ -31,6 +31,24 @@ object VectorQueries {
   def idot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** exact integer cosine rounded to 6dp — the ONE cross-engine similarity
+    * contract every retrieval/near-dup query and its oracle share */
+  def cosine6(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    round(idot(qa, qb).cast("double") /
+      sqrt(na.cast("double") * nb.cast("double")), 6)
+
+  /** shared retrieval tail: top-k per query_id by (cosine desc, vec_id asc),
+    * output (query_id, rnk, neighbor_id, cosine) ordered */
+  private def topKPerQuery(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** random-hyperplane LSH bucket from `nBits` sign bits of fixed pseudo-
     * random integer planes starting at `planeOffset` (plane p component i =
     * ((p*73 + i*37) % 19) - 9). Pure integer arithmetic over the quantized
@@ -46,7 +64,7 @@ object VectorQueries {
     (0 until nBits).map { j =>
       val p = planeOffset + j
       val proj = aggregate(
-        zip_with(q, sequence(lit(0), lit(63)),
+        zip_with(q, sequence(lit(0), size(q) - 1),
           (x, i) => x * (((lit(p) * 73 + i * 37) % 19) - 9)),
         lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
@@ -75,16 +93,8 @@ object VectorQueries {
       val joined = norms.crossJoin(broadcast(queriesDf))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          round(idot(col("q"), col("qq")).cast("double") /
-            sqrt(col("nrm").cast("double") * col("qn").cast("double")), 6)
-            .as("cosine"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("cosine"), asc("vec_id"))
-      joined.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-          col("cosine"))
-        .orderBy("query_id", "rnk")
+          cosine6(col("q"), col("qq"), col("nrm"), col("qn")).as("cosine"))
+      topKPerQuery(joined, 5)
     }),
 
     "v2_norm_stats" -> ((s, d) => {
@@ -140,9 +150,8 @@ object VectorQueries {
           col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(idot(col("a.q"), col("b.q")).cast("double") /
-            sqrt(col("a.nrm").cast("double") * col("b.nrm").cast("double")),
-            6).as("cosine"))
+          cosine6(col("a.q"), col("b.q"), col("a.nrm"), col("b.nrm"))
+            .as("cosine"))
         .dropDuplicates("vec_a", "vec_b") // union across tables
       pairs.orderBy(desc("cosine"), asc("vec_a"), asc("vec_b")).limit(20)
     }),
@@ -168,9 +177,7 @@ object VectorQueries {
           col("nrm").as("cn"))
       val scored = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
-          round(idot(col("q"), col("cq")).cast("double") /
-            sqrt(col("nrm").cast("double") * col("cn").cast("double")), 6)
-            .as("csim"))
+          cosine6(col("q"), col("cq"), col("nrm"), col("cn")).as("csim"))
       val byCent = Window.partitionBy("vec_id")
         .orderBy(desc("csim"), asc("cid"))
       val ranked = scored.withColumn("crn", row_number().over(byCent))
@@ -182,17 +189,9 @@ object VectorQueries {
       val cands = assign.join(probes, Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          round(idot(col("q"), col("qq")).cast("double") /
-            sqrt(col("nrm").cast("double") * col("qn").cast("double")), 6)
-            .as("cosine"))
+          cosine6(col("q"), col("qq"), col("nrm"), col("qn")).as("cosine"))
         .dropDuplicates("query_id", "vec_id") // union across probed lists
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("cosine"), asc("vec_id"))
-      cands.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-          col("cosine"))
-        .orderBy("query_id", "rnk")
+      topKPerQuery(cands, 3)
     }),
 
     "v4_lsh_knn" -> ((s, d) => {
@@ -216,17 +215,9 @@ object VectorQueries {
           col("tbl") === col("qtbl") && col("bkt") === col("qbkt") &&
             col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          round(idot(col("q"), col("qq")).cast("double") /
-            sqrt(col("nrm").cast("double") * col("qn").cast("double")), 6)
-            .as("cosine"))
+          cosine6(col("q"), col("qq"), col("nrm"), col("qn")).as("cosine"))
         .dropDuplicates("query_id", "vec_id") // union across tables
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("cosine"), asc("vec_id"))
-      cands.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-          col("cosine"))
-        .orderBy("query_id", "rnk")
+      topKPerQuery(cands, 3)
     })
   )
 
@@ -303,7 +294,7 @@ object VectorQueries {
            SELECT vec_id, tbl, bkt FROM (
              SELECT vec_id, tbl, bkt,
                     count(*) OVER (PARTITION BY tbl, bkt) AS df
-             FROM tb0) WHERE df <= 64),
+             FROM tb0) WHERE df <= ${DocQueries.maxDf}),
          cand AS (
            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            FROM tb a JOIN tb b

@@ -50,7 +50,18 @@ final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
   private def legacyLedgerPath = new HPath(stateRoot, "processed_files.txt")
   stateFs.mkdirs(ledgerDir)
 
-  /** committed ledger segments, oldest first (name-ordered nanotime) */
+  /** Segment names order by WALL-CLOCK millis (zero-padded, so the order
+    * survives JVM restarts — nanoTime has an arbitrary per-JVM origin) with
+    * a random suffix against same-tick collisions (coarse clocks /
+    * concurrent writers sharing a state dir). Ordering only needs to be
+    * approximate: the diff has set semantics; it matters solely so a
+    * crash-interrupted compaction's merged segment sorts at/after its
+    * inputs (duplicates, never loss). */
+  private def segmentName(): String =
+    f"seg-${System.currentTimeMillis()}%016d-${
+      java.util.UUID.randomUUID().toString.take(8)}.txt"
+
+  /** committed ledger segments, oldest first (name-ordered) */
   private def segments(): Seq[HPath] = {
     val f = stateFs
     val segs =
@@ -214,7 +225,7 @@ final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
   def markProcessed(files: Seq[FileEntry]): Unit = {
     if (files.isEmpty) return
     val f = stateFs
-    val seg = new HPath(ledgerDir, s"seg-${System.nanoTime()}.txt")
+    val seg = new HPath(ledgerDir, segmentName())
     val tmp = new HPath(ledgerDir, s".${seg.getName}.tmp")
     val out = f.create(tmp, false)
     try out.write(
@@ -233,7 +244,7 @@ final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
     val f = stateFs
     val segs = segments()
     if (segs.size <= 1) return
-    val merged = new HPath(ledgerDir, s"seg-${System.nanoTime()}.txt")
+    val merged = new HPath(ledgerDir, segmentName())
     val tmp = new HPath(ledgerDir, s".${merged.getName}.tmp")
     val out = f.create(tmp, false)
     try {

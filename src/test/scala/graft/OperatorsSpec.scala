@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("as-of join surfaces a legitimately NULL payload, not a stale value") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // right rows: (ts=1, p=7), (ts=2, p=NULL); left at ts=10 must see the
+    // LATEST row's null — per-column ignoreNulls carry would skip it and
+    // resurrect p=7 (and with several payload columns could emit a torn mix)
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 1L, Some(7L)), (1L, 2L, Option.empty[Long]))
+      .toDF("rk", "rts", "p")
+    val out = AsOfJoin.join(left, right, "k", "rk", "ts", "rts", Seq("p"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("p")),
+      s"latest right row's NULL payload must surface: ${out.toSeq}")
+  }
+
   test("as-of join matches a brute-force reference (incl. no-match nulls)") {
     val left = Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d"))
       .toDF("k", "ts", "lv")
