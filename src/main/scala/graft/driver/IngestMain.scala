@@ -114,13 +114,19 @@ object IngestMain {
           val secs = (System.nanoTime() - t0) / 1e9
           // fenced (skipped) epochs finish in scan-only time — feeding them
           // into the EWMA would inflate the rate and oversize real epochs
-          if (!out.skipped) tracker.update(0, hi - lo, secs)
-          val st = out.stats
-          history += RateControl.EpochHealth(epochId, (hi - lo) / secs,
-            watermarkLagSpread =
-              graft.merge.MergeEngine.lagSpread(out.manifest.offsets),
-            quarantineRate = if (st.rowsExtracted > 0)
-              st.rowsQuarantined.toDouble / st.rowsExtracted else 0.0)
+          // fenced (skipped) epochs finish in scan-only time: feeding them
+          // into EITHER signal would inflate the EWMA (oversizing epochs)
+          // or inject bogus fast/clean health rows that mask a real
+          // unhealthy stretch for up to `window` epochs
+          if (!out.skipped) {
+            tracker.update(0, hi - lo, secs)
+            val st = out.stats
+            history += RateControl.EpochHealth(epochId, (hi - lo) / secs,
+              watermarkLagSpread =
+                graft.merge.MergeEngine.lagSpread(out.manifest.offsets),
+              quarantineRate = if (st.rowsExtracted > 0)
+                st.rowsQuarantined.toDouble / st.rowsExtracted else 0.0)
+          }
           val health = RateControl.check(history.toSeq, produceRate)
           println(f"epoch=$epochId%d range=($lo%d,$hi%d] secs=$secs%.2f " +
             f"planned_by=${if (epochId == 0) "probe" else "budget"}%s " +

@@ -77,8 +77,16 @@ object MultiTableIngest {
     val cached = events.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val ds = datasetOf.cast("string")
-      val names = cached.toDF().select(ds.as("d"))
-        .distinct().as[String].collect().sorted.toSeq
+      val rawNames = cached.toDF().select(ds.as("d"))
+        .distinct().collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      // a NULL dataset name is a routing bug, not a dataset: fail fast with
+      // a clear message instead of an NPE mid-sort (and instead of silently
+      // dropping the rows — `ds === null` matches nothing)
+      require(!rawNames.contains(null),
+        "datasetOf evaluated to NULL for some events; route or filter them " +
+          "explicitly before dynamic discovery")
+      val names = rawNames.toSeq.sorted
       val tables = names.map(n =>
         n -> known.getOrElse(n, IceTable.create(s"$rootDir/$n", numBuckets)))
         .toMap

@@ -73,6 +73,9 @@ object RateControl {
   def check(history: Seq[EpochHealth], produceRate: Double,
             window: Int = 3,
             maxQuarantineRate: Double = 0.05): HealthReport = {
+    // window <= 0 would skip the not-enough-signal guard and make every
+    // forall vacuously true over an empty slice: unhealthy from zero data
+    require(window > 0, s"health window must be positive, got $window")
     if (history.size < window) return HealthReport(healthy = true, Nil)
     val recent = history.sortBy(_.epochId).takeRight(window)
     val reasons = Seq.newBuilder[String]

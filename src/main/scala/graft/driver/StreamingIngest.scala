@@ -66,8 +66,10 @@ object StreamingIngest {
     // KafkaIngestionHealthCheck loop the reference runs around its
     // containers): consumption-vs-produce rate, watermark-lag spread,
     // quarantine rate. `onHealth` is the container-abort hook — default
-    // logs; an operator can escalate (stop the query, page).
-    val tracker = new RateControl.ProduceRateTracker()
+    // logs; an operator can escalate (stop the query, page). Only the last
+    // few entries matter (check's window is 3), so the buffer is TRIMMED
+    // per batch — a months-long query must not grow driver state per batch.
+    val maxHealthHistory = 16
     val history = scala.collection.mutable.ArrayBuffer
       .empty[RateControl.EpochHealth]
 
@@ -108,12 +110,13 @@ object StreamingIngest {
         }
         if (!out.skipped) {
           val st = out.stats
-          tracker.update(0, st.rowsExtracted, secs)
           history += RateControl.EpochHealth(batchId,
             st.rowsExtracted / math.max(1e-9, secs),
             watermarkLagSpread = MergeEngine.lagSpread(out.manifest.offsets),
             quarantineRate = if (st.rowsExtracted > 0)
               st.rowsQuarantined.toDouble / st.rowsExtracted else 0.0)
+          if (history.size > maxHealthHistory)
+            history.remove(0, history.size - maxHealthHistory)
           onHealth(RateControl.check(history.toSeq, produceRate))
         }
         viewName.foreach(n =>

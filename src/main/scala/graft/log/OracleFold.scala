@@ -23,10 +23,20 @@ object OracleFold {
   def fold(events: IterableOnce[ChangeEvent]): Map[(String, String), FileRow] = {
     // keep, per key, the event with max seq; then drop deletes
     val best = scala.collection.mutable.HashMap.empty[(String, String), ChangeEvent]
+    // same-(key, seq) duplicates with DIFFERENT payloads (at-least-once
+    // producer retries) tie-break exactly like the engine: lexicographic
+    // max of (commit, op, lang, content), null content smallest — the
+    // oracle must agree with MergeEngine on every input, not just on
+    // exact duplicates
+    def tieKey(x: ChangeEvent): (String, String, String, Option[String]) =
+      (x.commit, x.op, x.lang, Option(x.content))
     events.iterator.foreach { e =>
       val k = (e.repo, e.path)
       best.get(k) match {
-        case Some(cur) if cur.seq >= e.seq => ()
+        case Some(cur) if cur.seq > e.seq => ()
+        case Some(cur) if cur.seq == e.seq =>
+          if (Ordering[(String, String, String, Option[String])]
+            .gt(tieKey(e), tieKey(cur))) best(k) = e
         case _ => best(k) = e
       }
     }

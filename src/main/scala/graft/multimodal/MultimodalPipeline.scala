@@ -80,7 +80,10 @@ object MultimodalPipeline {
     // upstream plan a second time for the decode pass — localCheckpoint
     // materializes it once (blocks are GC-cleaned when unreferenced)
     val mat = df.localCheckpoint(true)
-    val n = math.max(1L, mat.count() / rowsPerTask).toInt
+    // ceil division: floor would let a task hold up to ~2x rowsPerTask
+    // payloads just below the boundary, halving decoder parallelism
+    val n = math.max(1L,
+      (mat.count() + rowsPerTask - 1) / rowsPerTask).toInt
     extractFeatures(mat.repartition(n).as[MediaRow]).toDF()
   }
 

@@ -27,8 +27,10 @@ object TaskPolicies {
     def check(stats: EpochStats): Result
   }
 
-  /** extracted == quarantined + applied + deletes + dedupDrops — the
-    * RowCountPolicy analog (gobblin-core/.../policies/count/RowCountPolicy.java). */
+  /** extracted == quarantined + applied + deletes + dedupDrops + staleDrops
+    * (the full invariant CLAUDE.md states — staleDrops matters under
+    * out-of-order delivery) — the RowCountPolicy analog
+    * (gobblin-core/.../policies/count/RowCountPolicy.java). */
   final case class RowCountReconciliation(severity: Severity = Fail)
       extends Policy {
     val name = "row_count_reconciliation"

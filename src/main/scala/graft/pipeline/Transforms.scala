@@ -89,9 +89,13 @@ object Transform {
     // payload (downstream row policies quarantine them) — dropping them
     // would break the counter-reconciliation invariant.
     require(knownIds.nonEmpty, "extractEnvelope needs at least one schema id")
-    val decoded = knownIds.map(id => df.filter(col(schemaIdField) === id)
+    // each id decodes to a DIFFERENT struct type, so the plan is a union of
+    // per-id branches; localCheckpoint the input so the (possibly
+    // expensive) upstream computes ONCE instead of once per branch
+    val src = df.localCheckpoint(false)
+    val decoded = knownIds.map(id => src.filter(col(schemaIdField) === id)
       .withColumn("payload", from_json(col(payloadField), schemaFor(id))))
-    val unknown = df.filter(col(schemaIdField).isNull ||
+    val unknown = src.filter(col(schemaIdField).isNull ||
       !col(schemaIdField).isin(knownIds.map(i => i: Any): _*))
       .withColumn("payload", lit(null)) // NullType coerces to any struct
     (decoded :+ unknown).reduce(_.unionByName(_, allowMissingColumns = true))
