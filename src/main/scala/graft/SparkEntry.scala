@@ -24,9 +24,11 @@ object SparkEntry {
       graft.queries.OperatorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables — plus, for engine-hash-specific ops (d7, d8), on
-    * Spark-exported hash intermediates (two-step oracle, see OracleAux).
-    * Only q24_sketches (HLL internals) remains a rows-only check. */
+    * same parquet tables — plus, for engine-specific ops (d7, d8, v3, q24),
+    * on Spark-exported intermediates (two-step oracle, see OracleAux).
+    * EVERY query has a value oracle; q24's is a bounds check (the DuckDB
+    * side re-selects the exported sketch estimates only where they sit
+    * within documented error of exact recomputation). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.CdcQueries.oracles ++
