@@ -46,23 +46,33 @@ object Bench {
                       k: Int): Double =
     (1 to k).map(_ => ingestEps(spark, nEvents, nEpochs)).max
 
-  /** events/sec for a full replay of `nEvents` into a fresh table. */
+  /** events/sec for a full replay of `nEvents` into a fresh table. The
+    * table dir is deleted after timing — a multi-GB copy per rep would
+    * otherwise accumulate under /tmp across reps and rounds (the disk-fill
+    * pattern CdcQueries.c3 already fixed). */
   private def ingestEps(spark: SparkSession, nEvents: Long,
                         nEpochs: Int): Double = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    val table = IceTable.create(s"$dir/table", numBuckets = 32)
-    val t0 = System.nanoTime()
-    ReplayJob.replayGenerated(spark, table, benchSpec(nEvents), nEpochs = nEpochs)
-    val secs = (System.nanoTime() - t0) / 1e9
-    nEvents / secs
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench")
+    try {
+      val table = IceTable.create(s"$dir/table", numBuckets = 32)
+      val t0 = System.nanoTime()
+      ReplayJob.replayGenerated(spark, table, benchSpec(nEvents),
+        nEpochs = nEpochs)
+      val secs = (System.nanoTime() - t0) / 1e9
+      nEvents / secs
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   /** small untimed replay: JIT + codegen + shuffle-path warmup so the first
     * timed leg is not penalized for a cold JVM. */
   private def warmup(spark: SparkSession): Unit = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-warm").toString
-    val table = IceTable.create(s"$dir/table", numBuckets = 32)
-    ReplayJob.replayGenerated(spark, table, benchSpec(200000), nEpochs = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warm")
+    try {
+      val table = IceTable.create(s"$dir/table", numBuckets = 32)
+      ReplayJob.replayGenerated(spark, table, benchSpec(200000), nEpochs = 1)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   /** one measured leg: fresh session at `cores`, warmup, best-of-k ingest */
@@ -100,9 +110,13 @@ object Bench {
     // 0.8 target, BOTH legs symmetrically get up to 2 top-up reps — more
     // samples of the same max-estimator, not a biased retry of one side.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    // SKIP_SCALING skips BOTH ingest legs (query-timings-only run); the
+    // headline value then reports 0 and the driver reads the query map
     var epsN: Double =
       if (skipScaling) 0.0 else measureLeg(scaleN, nEvents, nEpochs, reps)
-    var eps4N: Double = measureLeg(4 * scaleN, nEvents, nEpochs, reps)
+    var eps4N: Double =
+      if (skipScaling) 0.0 else measureLeg(4 * scaleN, nEvents, nEpochs, reps)
     def effNow: Double = if (epsN > 0) (eps4N / epsN) / 4.0 else -1.0
     var topUps = 0
     while (!skipScaling && effNow < 0.82 && topUps < 2) {
@@ -120,18 +134,25 @@ object Bench {
       // toRdd.count() forces the complete physical plan: a dataframe
       // .count() would let Catalyst's EliminateSorts drop global ORDER BYs,
       // under-timing every sorted query.
+      // a crashing query must be VISIBLE in the JSON (its near-zero wall
+      // time would otherwise read as a 100x speedup round-over-round)
+      val failed = scala.collection.mutable.ArrayBuffer.empty[String]
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
       val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
       println(
-        f"""{"metric":"change_events_per_sec_committed","value":$eps4N%.0f,"unit":"events/sec","queries":$qs%s,"sf":"$sfDir%s","total_query_sec":$total%.2f,"ingest_events":$nEvents%d,"ingest_epochs":$nEpochs%d,"scale_n_cores":$scaleN%d,"bench_reps":$reps%d,"bench_topups":$topUps%d,"events_per_sec_N":$epsN%.0f,"events_per_sec_4N":$eps4N%.0f,"scaling_efficiency_N_to_4N":$eff%.3f}""")
+        f"""{"metric":"change_events_per_sec_committed","value":$eps4N%.0f,"unit":"events/sec","queries":$qs%s,"failed_queries":$failedJson%s,"sf":"$sfDir%s","total_query_sec":$total%.2f,"ingest_events":$nEvents%d,"ingest_epochs":$nEpochs%d,"scale_n_cores":$scaleN%d,"bench_reps":$reps%d,"bench_topups":$topUps%d,"events_per_sec_N":$epsN%.0f,"events_per_sec_4N":$eps4N%.0f,"scaling_efficiency_N_to_4N":$eff%.3f}""")
     } finally spark.stop()
   }
 }

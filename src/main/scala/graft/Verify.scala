@@ -22,6 +22,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any output (stale from a previous run, or partial from
+        // this one): the oracle compare must see the query as MISSING and
+        // go red, not silently pass against old results
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

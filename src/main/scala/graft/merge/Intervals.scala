@@ -44,7 +44,14 @@ object Intervals {
     * cover (-1, S] from the log origin; Long.MinValue if any partition has a
     * gap at (or a first run not anchored to) the origin. This is both the
     * completeness watermark (safe-to-read horizon) and the tombstone-purge
-    * horizon. */
+    * horizon.
+    *
+    * Foreign fences (partitions >= the running nLogPartitions, carried
+    * forward by mergeClaims) DO participate in the min — which would freeze
+    * the horizon at their last high forever. That state is unreachable
+    * through the engine: applyEpoch fail-fasts when nLogPartitions does not
+    * match the committed partition universe, precisely so a reconfigured
+    * job cannot strand partitions that then pin this horizon. */
   def contiguousOriginPrefix(
       offsets: Seq[graft.model.OffsetRange]): Long = {
     val byPart = offsets.groupBy(_.partitionId)
