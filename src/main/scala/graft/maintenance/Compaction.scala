@@ -1,7 +1,7 @@
 package graft.maintenance
 
 import graft.merge.Intervals
-import graft.model.{DataFileEntry, EpochManifest, EpochStats}
+import graft.model.{EpochManifest, EpochStats}
 import graft.table.IceTable
 import org.apache.spark.sql.{Observation, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,31 +53,6 @@ object Compaction {
       compactedBuckets: Int,
       carriedFiles: Int)       // files carried forward by reference
 
-  /** parquet footer record count — metadata-only read (no row data) */
-  private def footerRows(conf: org.apache.hadoop.conf.Configuration,
-                         path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
-
-  /** footer counts for all files through a bounded thread pool — one
-    * serial driver loop over thousands of object-store footers would stall
-    * for minutes; 16 concurrent metadata reads keep it flat. */
-  private def footerRowsAll(conf: org.apache.hadoop.conf.Configuration,
-                            files: Seq[DataFileEntry]): Seq[DataFileEntry] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, files.size)))
-    try {
-      files.map(f => f -> pool.submit(
-        new java.util.concurrent.Callable[Long] {
-          def call(): Long = footerRows(conf, f.path)
-        }))
-        .map { case (f, fut) => f.copy(rows = fut.get()) }
-    } finally { pool.shutdown(); () }
-  }
-
   /** `minFilesPerBucket = 1` (default) is a full pass — every bucket
     * rewrites and all safe tombstones purge (routine CoW merges leave one
     * file per bucket, so a files-count threshold alone would never select
@@ -121,7 +96,8 @@ object Compaction {
     // unique data dir per compaction, disjoint from ingest epoch ids
     val compactionEpochId = 1000000000L + parent.version
     val newFiles = table.writeEpochFiles(kept, compactionEpochId,
-      parent.schemaId, alignedByBucket = true)
+      parent.schemaId, alignedByBucket = true,
+      nBuckets = table.bucketCountOf(Some(parent)))
 
     val metrics = obs.get
     val purged = metrics("purged").asInstanceOf[Long]
@@ -130,17 +106,17 @@ object Compaction {
 
     // Verifier gate (audit-count analog) — two independent checks, neither
     // a data re-read:
-    //  1. the PUBLISHED files' footer record counts (metadata-only, read
-    //     through a bounded pool) must sum to the rows the rewrite observed
-    //     — catches loss between the filter and the publish, and fills
-    //     per-file row counts into the manifest entries;
+    //  1. the PUBLISHED files' footer record counts (metadata-only —
+    //     writeEpochFiles fills them via FileStats' bounded+timed pool)
+    //     must sum to the rows the rewrite observed — catches loss between
+    //     the filter and the publish;
     //  2. an end-to-end live-row recount over the published files must
     //     equal the live count the Observation saw BEFORE the rewrite —
     //     catches a semantically wrong purge predicate (which check 1, fed
     //     by the same filter, cannot). The recount scans ONLY the boolean
     //     `deleted` column (column pruning — about a bit per row), not the
     //     table data, so it is not the full second read this replaced.
-    val counted = footerRowsAll(spark.sessionState.newHadoopConf(), newFiles)
+    val counted = newFiles
     val writtenRows = counted.map(_.rows).sum
     require(writtenRows == keptRows,
       s"compaction verifier failed: rewrite observed $keptRows kept rows " +

@@ -24,6 +24,23 @@ object Intervals {
   def maxHigh(xs: Seq[(Long, Long)]): Long =
     if (xs.isEmpty) Long.MinValue else xs.map(_._2).max
 
+  /** intersection of two interval sets (normalized output) — the safe
+    * initial fence for a log partition that ENTERS a grown universe: a seq
+    * committed on every pre-existing partition is fenced on the new one
+    * too (see MergeEngine's universe-widening rule). */
+  def intersect(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val as = normalize(a); val bs = normalize(b)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var i = 0; var j = 0
+    while (i < as.length && j < bs.length) {
+      val (alo, ahi) = as(i); val (blo, bhi) = bs(j)
+      val lo = math.max(alo, blo); val hi = math.min(ahi, bhi)
+      if (hi > lo) out += ((lo, hi))
+      if (ahi < bhi) i += 1 else j += 1
+    }
+    out.toList
+  }
+
   /** Merge per-partition claims into the committed interval sets, keeping
     * one normalized interval list per partition 0..nLogPartitions-1 and
     * carrying forward (never dropping) committed intervals of partitions
@@ -49,9 +66,11 @@ object Intervals {
     * Foreign fences (partitions >= the running nLogPartitions, carried
     * forward by mergeClaims) DO participate in the min — which would freeze
     * the horizon at their last high forever. That state is unreachable
-    * through the engine: applyEpoch fail-fasts when nLogPartitions does not
-    * match the committed partition universe, precisely so a reconfigured
-    * job cannot strand partitions that then pin this horizon. */
+    * through the engine: applyEpoch fail-fasts when nLogPartitions would
+    * SHRINK the committed partition universe, precisely so a reconfigured
+    * job cannot strand partitions that then pin this horizon (GROWING is
+    * supported: new partitions enter origin-anchored via the intersection
+    * fence, so they advance this min rather than pinning it). */
   def contiguousOriginPrefix(
       offsets: Seq[graft.model.OffsetRange]): Long = {
     val byPart = offsets.groupBy(_.partitionId)

@@ -140,15 +140,40 @@ object MergeEngine {
 
     val parent = table.currentManifest()
     val parentVersion = parent.map(_.version).getOrElse(-1L)
-    val committedIv = committedIntervals(parent)
-    // fail fast on a partition-universe mismatch: every commit claims
-    // intervals on ALL partitions 0..n-1, so growing n would leave the new
-    // partitions never origin-anchored and silently FREEZE the completeness
-    // and tombstone-purge horizons forever; shrinking strands the old ones.
-    require(committedIv.isEmpty ||
-      committedIv.keySet == (0 until nLogPartitions).toSet,
-      s"nLogPartitions=$nLogPartitions does not match the table's committed " +
-        s"partition universe (${committedIv.keySet.toSeq.sorted.mkString(",")})")
+    // bucket count of THIS table's committed layout, resolved ONCE from the
+    // parent manifest (rebucket migrations record it per snapshot)
+    val nBuckets = table.bucketCountOf(parent)
+    // Log-partition-universe GROWTH (the reference discovers partitions at
+    // runtime, KafkaSource.java:198, and persists offsets even for empty
+    // WUs, :404-411): partitions NEW to the committed universe enter fenced
+    // by the INTERSECTION of all existing partitions' committed intervals.
+    // Every commit stamps its claims onto ALL partitions, so a seq present
+    // in every existing set was observed-and-committed regardless of which
+    // partition its key hashes to under the grown universe — fencing it on
+    // the new partition is safe, and an origin-anchored intersection keeps
+    // the completeness/purge horizons advancing instead of freezing them at
+    // MinValue. (Conservative: a seq fenced on no/only some old partitions
+    // stays unfenced here; the LWW merge absorbs any such replay.) The
+    // widened universe persists with this epoch's commit. SHRINKING remains
+    // a fail-fast — dropping partitions would strand their claims and pin
+    // the horizons forever.
+    val committedIv: Map[Int, Seq[(Long, Long)]] = {
+      val base = committedIntervals(parent)
+      if (base.isEmpty) base
+      else {
+        require(base.keySet.subsetOf((0 until nLogPartitions).toSet),
+          s"nLogPartitions=$nLogPartitions would SHRINK the table's " +
+            s"committed partition universe " +
+            s"(${base.keySet.toSeq.sorted.mkString(",")}); growing is " +
+            "supported, shrinking is not")
+        val missing = (0 until nLogPartitions).toSet -- base.keySet
+        if (missing.isEmpty) base
+        else {
+          val common = base.values.reduce(Intervals.intersect)
+          base ++ missing.map(_ -> common).toMap
+        }
+      }
+    }
 
     // --- 1. converter chain + quality gate (Converter/RowLevelPolicy) ----
     val withPart = pipeline(rawEvents.toDF())
@@ -183,9 +208,13 @@ object MergeEngine {
     // sets (the norm — normalize() keeps one merged interval per partition
     // on contiguous logs) compile to a codegen'd Column tree; past the
     // threshold (gap-dense segment histories, e.g. a dataset slice of a
-    // shared seq space) the fence becomes a BINARY SEARCH over a broadcast
+    // shared seq space) the fence becomes a BINARY SEARCH over a flattened
     // sorted-interval index — O(log n) per row, constant plan size, no
-    // 64KB-codegen or optimizer-depth blowup.
+    // 64KB-codegen or optimizer-depth blowup. The search is a NATIVE
+    // codegen expression (graft.functions.IntervalInside): the index rides
+    // the plan as a codegen reference object with primitive arguments, so
+    // the hot filter stays inside whole-stage codegen (the r3 scalar UDF
+    // here boxed every row and leaked its broadcast).
     val totalIvs = committedIv.values.map(_.size).sum
     val fence: Column =
       if (committedIv.isEmpty) lit(true)
@@ -195,26 +224,8 @@ object MergeEngine {
             col("seq") > lo && col("seq") <= hi }.reduce(_ || _)
           !(col("logPart") === p && inside)
         }.reduce(_ && _)
-      else {
-        val idx: Map[Int, (Array[Long], Array[Long])] =
-          committedIv.map { case (p, ivs) =>
-            val s = ivs.sorted
-            p -> (s.map(_._1).toArray, s.map(_._2).toArray)
-          }
-        val bc = spark.sparkContext.broadcast(idx)
-        val inside = udf((p: Int, seq: Long) => bc.value.get(p) match {
-          case None => false
-          case Some((los, his)) =>
-            // greatest interval with lo < seq (intervals sorted, disjoint)
-            var l = 0; var r = los.length - 1; var ans = -1
-            while (l <= r) {
-              val m = (l + r) >>> 1
-              if (los(m) < seq) { ans = m; l = m + 1 } else r = m - 1
-            }
-            ans >= 0 && seq <= his(ans)
-        })
-        !inside(col("logPart"), col("seq"))
-      }
+      else
+        !graft.functions.IntervalInside(col("logPart"), col("seq"), committedIv)
     val fresh = good.filter(fence)
 
     // --- 3. dedup: last-writer-wins by seq per key -----------------------
@@ -230,15 +241,20 @@ object MergeEngine {
       .groupBy($"repo", $"path")
       .agg(max($"seq").as("seq"),
         count(lit(1)).as("nEvents"))
-      .withColumn("bucket", table.bucketCol($"repo", $"path"))
+      .withColumn("bucket", table.bucketCol($"repo", $"path", nBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try { // unpersist `winners` on every exit (skip, abort, commit)
 
     // one small collect (per-BUCKET rows): counters, bucket pruning,
-    // broadcast sizing, salting weights, all at once
+    // broadcast sizing, salting weights, file-skip key bounds, all at once.
+    // The key bounds use the SAME NUL-composed key encoding as the per-file
+    // footer stats (graft.table.FileStats) so driver-side comparisons are
+    // byte-order consistent with the recorded min/max.
+    val keyExpr = concat($"repo", lit(graft.table.FileStats.KeySep), $"path")
     val perGroup = timed("dedup+stats")(winners.groupBy($"bucket")
       .agg(count(lit(1)).as("nKeys"), sum($"nEvents").as("nEv"),
-        sum(octet_length($"repo") + octet_length($"path")).as("keyBytes"))
+        sum(octet_length($"repo") + octet_length($"path")).as("keyBytes"),
+        min(keyExpr).as("minKey"), max(keyExpr).as("maxKey"))
       .collect())
     val freshCount = perGroup.map(_.getAs[Long]("nEv")).sum
     val upsertCountEarly = perGroup.map(_.getAs[Long]("nKeys")).sum
@@ -249,12 +265,22 @@ object MergeEngine {
       48L * upsertCountEarly
 
     val quarantined: Long = quarantinedEarly.getOrElse {
-      // the winners job above was the first action over the observed input
+      // the winners job above was the first action over the observed input.
+      // Drain the listener bus for the fast path, but NEVER default a
+      // missed observation to 0 — that would silently vanish policy-dropped
+      // rows from accounting while RowCountReconciliation (fed from the
+      // same value) stayed self-consistently blind. If the drain timed out,
+      // fall back to the BLOCKING Observation.get: safe because the action
+      // already ran, so the listener event is in flight, and correct
+      // because it either yields the real count or fails the epoch loudly.
       org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 10000L)
       org.apache.spark.sql.GraftSqlBridge.observationResult(inObs)
-        .flatMap(_.get("bad"))
-        .map(v => if (v == null) 0L else v.asInstanceOf[Long])
-        .getOrElse(0L)
+        .flatMap(_.get("bad")) match {
+        case Some(v) => if (v == null) 0L else v.asInstanceOf[Long]
+        case None =>
+          val v = inObs.get.get("bad").orNull
+          if (v == null) 0L else v.asInstanceOf[Long]
+      }
     }
 
     // This epoch's claimed offset intervals, applied to EVERY partition —
@@ -355,9 +381,9 @@ object MergeEngine {
       val m = parent
         .map(pm => pm.copy(version = pm.version + 1, epochId = epochId,
           offsets = mo, stats = st, parentVersion = pm.version,
-          completeUntilSeq = complete0))
+          completeUntilSeq = complete0, numBuckets = nBuckets))
         .getOrElse(EpochManifest(0L, epochId, SchemaRegistry.baseSchemaId,
-          Nil, mo, st, -1L, complete0))
+          Nil, mo, st, -1L, complete0, numBuckets = nBuckets))
       table.commit(m)
       return EpochOutcome(m, skipped = true, st)
     }
@@ -372,8 +398,56 @@ object MergeEngine {
     val targetSchema = SchemaRegistry.schemaFor(schemaIdNow)
 
     val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
-    val (touchedFiles, keptFiles) =
+    val (bucketTouched, untouchedFiles) =
       parentFiles.partition(f => affectedBuckets.contains(f.bucket))
+
+    // FILE-LEVEL DATA SKIPPING within touched buckets (Iceberg-metrics-
+    // style scan pruning — the contract behind the reference's metadata
+    // writer, IcebergMetadataWriter.java:349-383,664-672): a file of a
+    // touched bucket whose manifest stats PROVE it holds no winner key is
+    // carried forward BY REFERENCE instead of being read and rewritten.
+    // Correct because the full-outer merge would emit such a file's rows
+    // unchanged ("keep"), and key-disjointness guarantees the rewritten
+    // bucket output shares no key with the skipped file. Two proofs:
+    //  - key-range: the file's conservative [minKey, maxKey] (footer
+    //    stats, NUL-composed) is disjoint from the bucket's winner key
+    //    range (unsigned-byte comparison matching UTF8String order);
+    //  - salt residue: a salted write recorded the exact residue class
+    //    pmod(xxhash64(path), saltMod) = saltRes its file holds; if no
+    //    winner in the bucket lands in that class, the file cannot match.
+    //    This is THE post-salting payoff: a later small epoch touching a
+    //    previously-salted hot bucket rewrites one salt slice, not all.
+    // Files without stats are never skipped. Matches at 100 TB: the merge
+    // reads what the epoch can change, not what the bucket holds.
+    val winnerKeyRange: Map[Int, (String, String)] = perGroup.map(r =>
+      r.getAs[Int]("bucket") ->
+        (r.getAs[String]("minKey"), r.getAs[String]("maxKey"))).toMap
+    val saltMods = bucketTouched
+      .filter(f => f.saltMod > 1 && f.saltRes >= 0).map(_.saltMod).distinct
+    // winner residue classes per bucket, one tiny aggregate per distinct
+    // saltMod over the persisted winner envelopes (usually zero or one)
+    val winnerResidues: Map[Int, Map[Int, Set[Int]]] = saltMods.map { m =>
+      m -> winners.groupBy($"bucket")
+        .agg(collect_set(pmod(xxhash64($"path"), lit(m)).cast("int")).as("rs"))
+        .collect()
+        .map(r => r.getAs[Int]("bucket") -> r.getAs[Seq[Int]]("rs").toSet)
+        .toMap
+    }.toMap
+    def fileSkippable(f: graft.model.DataFileEntry): Boolean = {
+      val keyDisjoint = (f.minKey, f.maxKey, winnerKeyRange.get(f.bucket)) match {
+        case (Some(fmin), Some(fmax), Some((wmin, wmax)))
+          if wmin != null && wmax != null =>
+          graft.table.FileStats.keyCompare(fmax, wmin) < 0 ||
+            graft.table.FileStats.keyCompare(fmin, wmax) > 0
+        case _ => false
+      }
+      def residueMiss = f.saltMod > 1 && f.saltRes >= 0 &&
+        !winnerResidues(f.saltMod).getOrElse(f.bucket, Set.empty[Int])
+          .contains(f.saltRes)
+      keyDisjoint || residueMiss
+    }
+    val (skippedFiles, touchedFiles) = bucketTouched.partition(fileSkippable)
+    val keptFiles = untouchedFiles ++ skippedFiles
 
     // Bucket-aligned merge (storage-partitioned join): the target side is a
     // DSv2 scan over the touched buckets' files reporting
@@ -405,7 +479,7 @@ object MergeEngine {
           buckets = Some(alignedBuckets))
       else
         table.readFiles(spark, touchedFiles, schemaIdNow)
-          .repartition(table.numBuckets, col("bucket"))
+          .repartition(nBuckets, col("bucket"))
 
     // align the winner side with the chosen target layout
     def alignWinners(df: org.apache.spark.sql.DataFrame)
@@ -414,7 +488,7 @@ object MergeEngine {
         org.apache.spark.sql.GraftSqlBridge
           .dataFrameWithKeyGroupedPartitioning(spark, df, "bucket",
             alignedBuckets)
-      else df.repartition(table.numBuckets, $"bucket")
+      else df.repartition(nBuckets, $"bucket")
 
     val deduped: org.apache.spark.sql.DataFrame =
       if (winnerBytes <= maxBroadcastBytes(spark)) {
@@ -447,7 +521,7 @@ object MergeEngine {
           .select($"repo", $"path", $"e.op".as("op"), $"e.seq".as("seq"),
             $"e.commit".as("commit"), $"e.lang".as("lang"),
             $"e.content".as("content"))
-          .withColumn("bucket", table.bucketCol($"repo", $"path")))
+          .withColumn("bucket", table.bucketCol($"repo", $"path", nBuckets)))
       }
 
     // LWW resolution per target-schema column, by stable colId. The update
@@ -510,7 +584,7 @@ object MergeEngine {
     // trades one extra exchange for write parallelism on the skewed bucket.
     val newFiles = timed("merge+write")(
       table.writeEpochFiles(merged, epochId, schemaIdNow, saltPerBucket,
-        alignedByBucket = true))
+        alignedByBucket = true, nBuckets = nBuckets))
 
     val metrics = obs.get
     val applied = metrics("up").asInstanceOf[Long]
@@ -541,7 +615,8 @@ object MergeEngine {
       parentVersion = parentVersion,
       completeUntilSeq = math.max(
         parent.map(_.completeUntilSeq).getOrElse(Long.MinValue),
-        Intervals.contiguousOriginPrefix(offsetsNow)))
+        Intervals.contiguousOriginPrefix(offsetsNow)),
+      numBuckets = nBuckets)
 
     // --- 6. task-level policy gate: abort (no commit) on failure ---------
     graft.pipeline.TaskPolicies.enforce(taskPolicies, stats)

@@ -60,9 +60,24 @@ final case class EpochStats(
   * content schema the file was WRITTEN with; readers evolve it forward to the
   * snapshot's current schema (Iceberg-style read-time projection by column
   * id — cf. IcebergMetadataWriter.computeCandidateSchema,
-  * gobblin-iceberg/.../writer/IcebergMetadataWriter.java:455-524). */
+  * gobblin-iceberg/.../writer/IcebergMetadataWriter.java:455-524).
+  *
+  * The optional fields are per-file column statistics for data skipping (the
+  * Iceberg data-file metrics analog, IcebergMetadataWriter.java:349-383):
+  *  - `minKey`/`maxKey` — conservative bounds on the composed row key
+  *    `repo + NUL + path` (see [[graft.table.FileStats]]),
+  *  - `minSeq`/`maxSeq` — bounds on the stored `lastSeq`,
+  *  - `saltMod`/`saltRes` — when a hot-bucket write salted the bucket across
+  *    several files, each file holds ONLY keys with
+  *    `pmod(xxhash64(path), saltMod) == saltRes`; an epoch whose winners
+  *    miss that residue class can skip the file entirely.
+  * All default to absent — a file without stats is readable everywhere and
+  * simply never skipped (legacy manifests keep working unchanged). */
 final case class DataFileEntry(path: String, bucket: Int, rows: Long,
-    schemaId: Int, bytes: Long = -1L)
+    schemaId: Int, bytes: Long = -1L,
+    minKey: Option[String] = None, maxKey: Option[String] = None,
+    minSeq: Option[Long] = None, maxSeq: Option[Long] = None,
+    saltMod: Int = 1, saltRes: Int = -1)
 
 /**
  * Snapshot manifest: the unit of atomic commit. A snapshot is readable iff
@@ -84,7 +99,19 @@ final case class EpochManifest(
     // complete. Monotone; advances only when per-epoch counters reconciled
     // (RowCountReconciliation gates each contributing commit). MinValue
     // until the origin prefix is covered.
-    completeUntilSeq: Long = Long.MinValue)
+    completeUntilSeq: Long = Long.MinValue,
+    // Wall-clock commit time, stamped by IceTable.commit at publish (-1 on
+    // legacy manifests). Drives TIME-based retention policies (the
+    // reference's policy-driven retention module,
+    // gobblin-data-management/.../retention/) — durable in the manifest so
+    // it survives table copies, unlike filesystem mtimes.
+    commitTimeMillis: Long = -1L,
+    // Hash-bucket count of THIS snapshot's data layout (-1 on legacy
+    // manifests = the table's construction-time default). Recorded per
+    // snapshot so `rebucket` can migrate a table that outgrew its bucket
+    // width — the partition-spec-evolution analog
+    // (IcebergMetadataWriter.java:507-524, updateSpec().addField).
+    numBuckets: Int = -1)
 
 /** Lineage row persisted per (epoch, log-partition) — the "lineage rows in a
   * state table" of the north star; analog of Gobblin's per-WorkUnit committed

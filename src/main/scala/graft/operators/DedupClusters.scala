@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
  * Scale hygiene: every round `localCheckpoint`s the new edge set, so plan
  * lineage stays O(1) across iterations instead of growing per round, and
  * convergence is detected from a two-scalar signature (count + sum of
- * xxhash64(a,b)) rather than a driver-side set comparison.
+ * xxhash64(a,b)) rather than a driver-side set comparison; a signature
+ * match is then CONFIRMED exactly by one distributed anti-join, so a
+ * hash-sum collision can never end the loop before the true fixpoint.
  */
 object DedupClusters {
 
@@ -80,16 +82,23 @@ object DedupClusters {
     while (!converged && iter < maxIter) {
       val next = rewriteRound(edges).localCheckpoint() // truncate lineage
       val nextSig = signature(next)
-      converged = nextSig == sig
+      // signature equality is a candidate fixpoint, not proof — a (count,
+      // hash-sum) collision between DIFFERENT edge sets could otherwise end
+      // the loop early and mislabel. Confirm EXACTLY with one anti-join:
+      // counts match, so next ⊆ edges ⇒ next == edges. Runs once per
+      // apparent convergence (normally once per call), never per round.
+      converged = nextSig == sig &&
+        (next.join(edges, Seq("a", "b"), "left_anti").isEmpty)
       sig = nextSig
       edges = next
       iter += 1
     }
     // At fixpoint edges are (member → root) stars; roots label themselves.
     // The min-aggregate keeps the one-row-per-id invariant even if the loop
-    // exited at maxIter before fixpoint (or on a signature collision): a
-    // node with several residual out-edges still labels once, to its
-    // minimum reachable — never two conflicting rows.
+    // exited at maxIter before fixpoint (signature collisions can no longer
+    // cause an early exit — convergence is exactness-confirmed): a node
+    // with several residual out-edges still labels once, to its minimum
+    // reachable — never two conflicting rows.
     val labels = nodes
       .join(edges.select(col("a").as("id"), col("b").as("cluster")),
         Seq("id"), "left")

@@ -37,6 +37,17 @@ object CdcQueries {
           col("user_id").cast("string"), lit("#"),
           col("event_id").cast("string"))).as("content"))
 
+  /** one shutdown hook per distinct work dir: the pid-scoped engine dirs
+    * are reusable across invocations WITHIN a process but must not
+    * accumulate across processes */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(dir: String): Unit =
+    if (cleanupRegistered.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(dir)): Unit))
+
   private val deriveSql =
     """SELECT CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
               event_id AS seq,
@@ -90,13 +101,19 @@ object CdcQueries {
       // offset fencing, dedup, CoW merge, manifest commits — must reproduce
       // the SQL fold byte-for-byte (sha256 parity via DuckDB oracle).
       import s.implicits._
-      // ONE reusable work dir per source dataset (recreated per invocation):
-      // a fresh createTempDirectory each run leaked a full table copy under
-      // /tmp for every Verify/bench rep and would eventually fill the disk
+      // ONE reusable work dir per (process, source dataset), recreated per
+      // invocation: a fresh createTempDirectory each run leaked a full table
+      // copy under /tmp for every Verify/bench rep and would eventually fill
+      // the disk. The pid component keeps two concurrent drivers over the
+      // same dataset (e.g. Verify and Bench in parallel) from deleting each
+      // other's live engine table mid-query, and disambiguates hashCode
+      // collisions across dataset paths within a process lifetime.
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-engine-q-" +
+        s"${ProcessHandle.current().pid()}-" +
         Integer.toHexString(d.hashCode)
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(tmp))
+      registerCleanup(tmp) // pid-scoped dirs must not outlive the process
       val table = IceTable.create(s"$tmp/table", numBuckets = 16)
       val log = deriveLog(s, d).as[ChangeEvent]
       val bounds = log.agg(min($"seq"), max($"seq")).head()

@@ -56,9 +56,10 @@ final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
     * concurrent writers sharing a state dir). Ordering only needs to be
     * approximate: the diff has set semantics; it matters solely so a
     * crash-interrupted compaction's merged segment sorts at/after its
-    * inputs (duplicates, never loss). */
-  private def segmentName(): String =
-    f"seg-${System.currentTimeMillis()}%016d-${
+    * inputs (duplicates, never loss) — compactLedger passes an explicit
+    * `millis` bumped past its newest input to make that STRICT. */
+  private def segmentName(millis: Long = System.currentTimeMillis()): String =
+    f"seg-$millis%016d-${
       java.util.UUID.randomUUID().toString.take(8)}.txt"
 
   /** committed ledger segments, oldest first (name-ordered) */
@@ -238,27 +239,56 @@ final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
 
   /** Merge all ledger segments (legacy file included) into one. Crash-safe:
     * the merged segment is published by rename BEFORE the inputs are
-    * deleted, and its nanotime name sorts after them, so a crash mid-delete
-    * only leaves duplicate entries — harmless to a set-semantics diff. */
+    * deleted, and its name is derived to sort STRICTLY after every input
+    * (max input millis + 1 when the clock hasn't passed it), so a crash
+    * mid-delete only leaves duplicate entries — harmless to a set-semantics
+    * diff. With an active SparkSession the merge is a DISTRIBUTED text
+    * rewrite (read all segments → one output file): the full ledger —
+    * potentially tens of millions of paths — never streams through the
+    * driver; the single-threaded driver loop remains only as the
+    * no-session fallback. */
   def compactLedger(): Unit = {
     val f = stateFs
     val segs = segments()
     if (segs.size <= 1) return
-    val merged = new HPath(ledgerDir, segmentName())
-    val tmp = new HPath(ledgerDir, s".${merged.getName}.tmp")
-    val out = f.create(tmp, false)
-    try {
-      // stream segment-by-segment: never the whole ledger in memory
-      segs.foreach { p =>
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty)
-          .foreach(l => out.write((l + "\n").getBytes("UTF-8")))
-        finally in.close()
-      }
-    } finally out.close()
-    if (!f.rename(tmp, merged))
-      throw new IllegalStateException(s"ledger compaction publish failed: $merged")
+    val maxInputMillis = segs.map(_.getName).collect {
+      case n if n.startsWith("seg-") =>
+        n.stripPrefix("seg-").take(16).toLong
+    }.foldLeft(0L)(math.max)
+    val merged = new HPath(ledgerDir,
+      segmentName(math.max(System.currentTimeMillis(), maxInputMillis + 1)))
+    SparkSession.getActiveSession match {
+      case Some(spark) =>
+        val outDir = new HPath(ledgerDir, s".compact-${merged.getName}")
+        spark.read.textFile(segs.map(_.toString): _*)
+          .filter((l: String) => l.nonEmpty)
+          .coalesce(1)
+          .write.mode("overwrite").text(outDir.toString)
+        val part = f.listStatus(outDir).iterator
+          .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"ledger compaction produced no output under $outDir"))
+        if (!f.rename(part.getPath, merged))
+          throw new IllegalStateException(
+            s"ledger compaction publish failed: $merged")
+        f.delete(outDir, true)
+      case None =>
+        val tmp = new HPath(ledgerDir, s".${merged.getName}.tmp")
+        val out = f.create(tmp, false)
+        try {
+          // stream segment-by-segment: never the whole ledger in memory
+          segs.foreach { p =>
+            val in = f.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .filter(_.nonEmpty)
+              .foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+            finally in.close()
+          }
+        } finally out.close()
+        if (!f.rename(tmp, merged))
+          throw new IllegalStateException(
+            s"ledger compaction publish failed: $merged")
+    }
     segs.foreach(p => f.delete(p, false))
   }
 }

@@ -1,0 +1,170 @@
+package graft.table
+
+import graft.model.DataFileEntry
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.column.statistics.Statistics
+import org.apache.parquet.io.api.Binary
+
+/**
+ * Per-file column statistics from parquet FOOTERS (metadata-only IO — no row
+ * data is read). This is the engine's analog of the per-column metrics the
+ * reference preserves into Iceberg data-file entries at commit time
+ * (gobblin-iceberg/.../writer/IcebergMetadataWriter.java:349-383,664-672 —
+ * appendFiles with metrics), which is what enables file-level data skipping
+ * within a partition: the merge and read paths can drop files whose stats
+ * preclude a match without opening them.
+ *
+ * Recorded per file:
+ *  - `rows`   — footer record count (also feeds the compaction verifier),
+ *  - `minKey`/`maxKey` — conservative bounds on the composed row key
+ *    `repo \0 path` (NUL-composed so byte order equals (repo, path) struct
+ *    order: NUL sorts below every other byte). Built from the per-COLUMN
+ *    footer min/max as (min repo, min path) / (max repo, max path) — a
+ *    superset of the true composed-key range, which is exactly what a
+ *    conservative skip test needs,
+ *  - `minSeq`/`maxSeq` — bounds on `lastSeq` (incremental "changes since"
+ *    reads skip files whose whole seq range predates the request).
+ *
+ * All footers are read through a bounded thread pool with a per-file
+ * timeout: one hung object-store metadata read must not stall the job
+ * forever (the pool aborts with `shutdownNow` and surfaces the failing
+ * path). Missing/truncated footer stats degrade to None — a file without
+ * stats is simply never skipped.
+ */
+object FileStats {
+
+  final case class Stats(
+      rows: Long,
+      minKey: Option[String], maxKey: Option[String],
+      minSeq: Option[Long], maxSeq: Option[Long])
+
+  /** key composition: NUL-separated, so unsigned byte order of the composed
+    * string equals lexicographic (repo, path) order */
+  val KeySep = "\u0000"
+
+  /** unsigned lexicographic UTF-8 byte comparison — the same order Spark's
+    * UTF8String and modern parquet UTF8 stats use (driver-side comparisons
+    * must match the executor-side min/max or a skip could be wrong for
+    * non-ASCII keys, where UTF-16 `String.compareTo` diverges). */
+  def keyCompare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def utf8Min(s: Statistics[_]): Option[String] = s match {
+    case _ if s.isEmpty || !s.hasNonNullValue => None
+    case bs: Statistics[_] => bs.genericGetMin match {
+      case b: Binary => Some(b.toStringUsingUTF8)
+      case _ => None
+    }
+  }
+  private def utf8Max(s: Statistics[_]): Option[String] =
+    if (s.isEmpty || !s.hasNonNullValue) None
+    else s.genericGetMax match {
+      case b: Binary => Some(b.toStringUsingUTF8)
+      case _ => None
+    }
+  private def longMin(s: Statistics[_]): Option[Long] =
+    if (s.isEmpty || !s.hasNonNullValue) None
+    else s.genericGetMin match { case l: java.lang.Long => Some(l); case _ => None }
+  private def longMax(s: Statistics[_]): Option[Long] =
+    if (s.isEmpty || !s.hasNonNullValue) None
+    else s.genericGetMax match { case l: java.lang.Long => Some(l); case _ => None }
+
+  /** footer stats of one file (record count + repo/path/lastSeq min-max,
+    * folded across row groups). Any column chunk without usable stats makes
+    * that column's bound None. */
+  def read(conf: Configuration, path: String): Stats = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks
+      var rows = 0L
+      // per-column folds; a single chunk without stats poisons the column
+      var repoMin, repoMax, pathMin, pathMax: Option[String] = None
+      var seqMin, seqMax: Option[Long] = None
+      var repoOk, pathOk, seqOk = true
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        rows += b.getRowCount
+        val cit = b.getColumns.iterator()
+        while (cit.hasNext) {
+          val c = cit.next()
+          val st = c.getStatistics
+          c.getPath.toDotString match {
+            case "repo" =>
+              (utf8Min(st), utf8Max(st)) match {
+                case (Some(lo), Some(hi)) if repoOk =>
+                  repoMin = Some(repoMin.fold(lo)(m =>
+                    if (keyCompare(lo, m) < 0) lo else m))
+                  repoMax = Some(repoMax.fold(hi)(m =>
+                    if (keyCompare(hi, m) > 0) hi else m))
+                case _ => repoOk = false; repoMin = None; repoMax = None
+              }
+            case "path" =>
+              (utf8Min(st), utf8Max(st)) match {
+                case (Some(lo), Some(hi)) if pathOk =>
+                  pathMin = Some(pathMin.fold(lo)(m =>
+                    if (keyCompare(lo, m) < 0) lo else m))
+                  pathMax = Some(pathMax.fold(hi)(m =>
+                    if (keyCompare(hi, m) > 0) hi else m))
+                case _ => pathOk = false; pathMin = None; pathMax = None
+              }
+            case "lastSeq" =>
+              (longMin(st), longMax(st)) match {
+                case (Some(lo), Some(hi)) if seqOk =>
+                  seqMin = Some(seqMin.fold(lo)(math.min(_, lo)))
+                  seqMax = Some(seqMax.fold(hi)(math.max(_, hi)))
+                case _ => seqOk = false; seqMin = None; seqMax = None
+              }
+            case _ => ()
+          }
+        }
+      }
+      val minKey = for (r0 <- repoMin; p0 <- pathMin) yield r0 + KeySep + p0
+      val maxKey = for (r0 <- repoMax; p0 <- pathMax) yield r0 + KeySep + p0
+      Stats(rows, minKey, maxKey, seqMin, seqMax)
+    } finally r.close()
+  }
+
+  /** Fill `rows` + stats bounds into each entry via one pooled footer pass.
+    * Bounded: at most 16 concurrent metadata reads, each with a hard
+    * `timeoutSec` — on timeout or failure the pool is `shutdownNow`n and the
+    * error names the file, so a hung object-store read aborts the job
+    * instead of stalling it forever. */
+  def fillAll(conf: Configuration, files: Seq[DataFileEntry],
+              timeoutSec: Long = 120L): Seq[DataFileEntry] = {
+    if (files.isEmpty) return files
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try {
+      val futs = files.map(f => f -> pool.submit(
+        new java.util.concurrent.Callable[Stats] {
+          def call(): Stats = read(conf, f.path)
+        }))
+      futs.map { case (f, fut) =>
+        val s =
+          try fut.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+          catch {
+            case e: java.util.concurrent.TimeoutException =>
+              throw new IllegalStateException(
+                s"footer read timed out after ${timeoutSec}s: ${f.path}", e)
+            case e: java.util.concurrent.ExecutionException =>
+              throw new IllegalStateException(
+                s"footer read failed: ${f.path}", e.getCause)
+          }
+        f.copy(rows = s.rows, minKey = s.minKey, maxKey = s.maxKey,
+          minSeq = s.minSeq, maxSeq = s.maxSeq)
+      }
+    } finally { pool.shutdownNow(); () }
+  }
+}

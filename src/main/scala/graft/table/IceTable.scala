@@ -56,8 +56,19 @@ import org.apache.spark.sql.functions._
  * (files from different epochs share one directory structure), and gives
  * partition pruning on `bucket` for free.
  */
-final class IceTable(val dir: String, val numBuckets: Int) {
+final class IceTable(val dir: String, val defaultNumBuckets: Int) {
   private val root = new HPath(dir)
+
+  /** Bucket count of the CURRENT snapshot's data layout: recorded per
+    * manifest (so `Rebucket` can migrate a table that outgrew its width —
+    * the partition-spec-evolution analog, IcebergMetadataWriter.java:
+    * 507-524); legacy/empty tables fall back to the construction default.
+    * Epoch-scoped callers (MergeEngine) resolve this ONCE from the parent
+    * manifest they already hold instead of re-listing here. */
+  def numBuckets: Int = bucketCountOf(currentManifest())
+
+  def bucketCountOf(m: Option[graft.model.EpochManifest]): Int =
+    m.map(_.numBuckets).filter(_ > 0).getOrElse(defaultNumBuckets)
   private def metaDir = new HPath(root, "meta")
   private def dataDir = new HPath(root, "data")
   private def stagingDir = new HPath(root, "staging")
@@ -139,10 +150,14 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     require(m.parentVersion == cur,
       s"concurrent writer detected: parent=${m.parentVersion} current=$cur")
     require(m.version == cur + 1, s"version must be ${cur + 1}, got ${m.version}")
+    // stamp the wall-clock commit time at publish — unconditionally, so a
+    // manifest built by copy() from its parent cannot inherit the parent's
+    // time (time-based retention reads this, never fs mtimes)
+    val stamped = m.copy(commitTimeMillis = System.currentTimeMillis())
     val tmp = new HPath(metaDir,
       f".snap-${m.version}%08d-${System.nanoTime()}%d.json.tmp")
     val out = f.create(tmp, false)
-    try out.write(ManifestJson.write(m).getBytes("UTF-8")) finally out.close()
+    try out.write(ManifestJson.write(stamped).getBytes("UTF-8")) finally out.close()
     if (!renameNoReplace(f, tmp, snapPath(m.version))) {
       f.delete(tmp, false)
       throw new IllegalArgumentException(
@@ -219,23 +234,57 @@ final class IceTable(val dir: String, val numBuckets: Int) {
       .drop("bucket", "lastSeq", "deleted")
   }
 
-  /** Retention (SURVEY.md §2.9 cleaner analog): expire snapshots older than
-    * the last `keepLast`, then delete data files referenced by NO retained
-    * snapshot. Readers of retained versions are unaffected (their manifests
-    * and files survive). Returns (#manifests, #dataFiles) removed. */
-  def expireSnapshots(keepLast: Int): (Int, Int) = {
+  /** Files of `files` that can hold a row with lastSeq > `sinceSeq`
+    * (manifest-stats pruning; files without stats are kept — skipping is
+    * only ever an optimization). */
+  def filesTouchedSince(files: Seq[DataFileEntry],
+                        sinceSeq: Long): Seq[DataFileEntry] =
+    files.filter(_.maxSeq.forall(_ > sinceSeq))
+
+  /** Incremental read: rows whose `lastSeq` is AFTER `sinceSeq` (raw view —
+    * tombstones included, so a downstream consumer sees deletes). The file
+    * list is pruned by the manifest's per-file seq stats FIRST: a file whose
+    * whole seq range predates the request is never opened — at 100 TB a
+    * "changes in the last hour" read touches only the files recent epochs
+    * rewrote, not the table (Iceberg-metrics-style scan pruning,
+    * IcebergMetadataWriter.java:349-383). */
+  def readChangesSince(spark: SparkSession, sinceSeq: Long): DataFrame =
+    currentManifest() match {
+      case None => emptyDf(spark).filter(lit(false))
+      case Some(m) =>
+        readFiles(spark, filesTouchedSince(m.files, sinceSeq), m.schemaId)
+          .filter(col("lastSeq") > sinceSeq)
+    }
+
+  /** Retention (SURVEY.md §2.9 cleaner analog; the reference's policy-driven
+    * retention module, gobblin-data-management/.../retention/ version
+    * policies — e.g. dataset/CleanableIcebergDataset.java): expire snapshots
+    * by VERSION count, by AGE, or both combined, then delete data files
+    * referenced by NO retained snapshot. A snapshot expires iff it is
+    * (a) NOT among the newest `keepLast` versions AND (b) committed before
+    * `olderThanMillis` (manifest-stamped wall clock; legacy manifests
+    * without a stamp count as infinitely old). The current snapshot never
+    * expires; readers of retained versions are unaffected (their manifests
+    * and files survive). Defaults degrade to the pure count-based policy.
+    * Returns (#manifests, #dataFiles) removed. */
+  def expireSnapshots(keepLast: Int = 1,
+                      olderThanMillis: Long = Long.MaxValue): (Int, Int) = {
     require(keepLast >= 1)
     val f = fs
     val versions = listVersions() // ONE metadata listing, not O(maxVersion)
     if (versions.isEmpty) return (0, 0)
     val cur = versions.max
     val cutoff = cur - keepLast + 1
-    val expired = versions.filter(_ < cutoff)
+    val manifests: Map[Long, EpochManifest] =
+      versions.map(v => v -> readManifest(v)).toMap
+    val expired = versions.filter(v =>
+      v < cutoff && manifests(v).commitTimeMillis < olderThanMillis)
     if (expired.isEmpty) return (0, 0)
-    val retainedFiles: Set[String] = versions.filter(_ >= cutoff)
-      .flatMap(v => readManifest(v).files.map(_.path)).toSet
+    val expiredSet = expired.toSet
+    val retainedFiles: Set[String] = versions.filterNot(expiredSet)
+      .flatMap(v => manifests(v).files.map(_.path)).toSet
     val expiredFiles: Set[String] = expired
-      .flatMap(v => readManifest(v).files.map(_.path)).toSet
+      .flatMap(v => manifests(v).files.map(_.path)).toSet
     val removable = expiredFiles -- retainedFiles
     removable.foreach(p => f.delete(new HPath(p), false))
     expired.foreach(v => f.delete(snapPath(v), false))
@@ -297,8 +346,10 @@ final class IceTable(val dir: String, val numBuckets: Int) {
   // ---- writes -------------------------------------------------------------
 
   def bucketCol(repo: org.apache.spark.sql.Column,
-                path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(repo, path), lit(numBuckets)).cast("int")
+                path: org.apache.spark.sql.Column,
+                nBuckets: Int = -1): org.apache.spark.sql.Column =
+    pmod(xxhash64(repo, path),
+      lit(if (nBuckets > 0) nBuckets else numBuckets)).cast("int")
 
   /** Write rows (FileRow columns + `bucket`) as data files for `epochId`:
     * one shuffle keyed by bucket, into a STAGING dir, then publish each file
@@ -308,43 +359,72 @@ final class IceTable(val dir: String, val numBuckets: Int) {
     * (the north-star "salted repartitioning before the merge-apply stage"):
     * a Zipf-hot bucket then produces several files in parallel instead of
     * one straggler task; readers are unaffected (manifests list all files).
+    * Salted files are keyed by an explicit `_salt` staging partition column
+    * (stripped at publish — the data layout stays single-level), so each
+    * file's (saltMod, saltRes) residue class is EXACT and recorded in its
+    * manifest entry: a later epoch whose winners miss the residue skips the
+    * file without opening it (see MergeEngine file skipping).
     * `alignedByBucket = true` skips the repartition when the input plan is
-    * already hash-partitioned by `bucket` (bucket-aligned MERGE output). */
+    * already hash-partitioned by `bucket` (bucket-aligned MERGE output).
+    * Published entries carry footer stats (rows + key/seq min-max) from one
+    * pooled metadata pass — the skipping/verifier inputs. */
   def writeEpochFiles(df: DataFrame, epochId: Long,
       schemaId: Int = SchemaRegistry.baseSchemaId,
       saltPerBucket: Int = 1,
-      alignedByBucket: Boolean = false): Seq[DataFileEntry] = {
+      alignedByBucket: Boolean = false,
+      nBuckets: Int = -1): Seq[DataFileEntry] = {
     val f = fs
+    val nb = if (nBuckets > 0) nBuckets else numBuckets
+    val salted = saltPerBucket > 1
     val staging = new HPath(stagingDir,
       s"e$epochId-${System.nanoTime()}")
     val parted =
-      if (alignedByBucket && saltPerBucket <= 1) df
-      else if (saltPerBucket <= 1) df.repartition(numBuckets, col("bucket"))
-      else df.repartition(numBuckets * saltPerBucket, col("bucket"),
-        pmod(xxhash64(col("path")), lit(saltPerBucket)))
-    parted
+      if (alignedByBucket && !salted) df
+      else if (!salted) df.repartition(nb, col("bucket"))
+      else df
+        .withColumn("_salt",
+          pmod(xxhash64(col("path")), lit(saltPerBucket)).cast("int"))
+        .repartition(nb * saltPerBucket, col("bucket"), col("_salt"))
+    val sorted = parted
       .sortWithinPartitions("bucket", "repo", "path")
       .write.mode("overwrite")
-      .partitionBy("bucket")
+    (if (salted) sorted.partitionBy("bucket", "_salt")
+     else sorted.partitionBy("bucket"))
       .parquet(staging.toString)
-    // publish: move every staged file under the flat data layout
+    // publish: move every staged file under the flat single-level data
+    // layout (any _salt staging level is flattened into the file NAME —
+    // one task can stage the same part-file name under two _salt dirs of
+    // one bucket, so the name must carry the residue to stay unique)
+    def publishDir(d: HPath, bucket: Int, saltRes: Int)
+        : Iterator[DataFileEntry] = {
+      val destDir = new HPath(dataDir, s"bucket=$bucket")
+      f.mkdirs(destDir)
+      val tag = if (saltRes >= 0) s"e$epochId-s$saltRes-" else s"e$epochId-"
+      f.listStatus(d).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map { s =>
+          val dest = new HPath(destDir, tag + s.getPath.getName)
+          if (!f.rename(s.getPath, dest))
+            throw new IllegalStateException(s"publish failed: $dest")
+          DataFileEntry(dest.toString, bucket, -1L, schemaId, s.getLen,
+            saltMod = if (saltRes >= 0) saltPerBucket else 1,
+            saltRes = saltRes)
+        }
+    }
     val entries = f.listStatus(staging).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .flatMap { d =>
         val bucket = d.getPath.getName.stripPrefix("bucket=").toInt
-        val destDir = new HPath(dataDir, s"bucket=$bucket")
-        f.mkdirs(destDir)
-        f.listStatus(d.getPath).iterator
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map { s =>
-            val dest = new HPath(destDir, s"e$epochId-${s.getPath.getName}")
-            if (!f.rename(s.getPath, dest))
-              throw new IllegalStateException(s"publish failed: $dest")
-            DataFileEntry(dest.toString, bucket, -1L, schemaId, s.getLen)
+        if (!salted) publishDir(d.getPath, bucket, -1)
+        else f.listStatus(d.getPath).iterator
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_salt="))
+          .flatMap { sd =>
+            publishDir(sd.getPath, bucket,
+              sd.getPath.getName.stripPrefix("_salt=").toInt)
           }
       }.toSeq
     f.delete(staging, true)
-    entries.sortBy(e => (e.bucket, e.path))
+    FileStats.fillAll(hconf, entries.sortBy(e => (e.bucket, e.path)))
   }
 
   /** All PUBLISHED data files of the given epoch (committed or orphaned). */

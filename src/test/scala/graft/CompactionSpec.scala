@@ -78,6 +78,40 @@ class CompactionSpec extends SparkSpec {
     assert(shaState(t) == before, "user table must be unchanged")
   }
 
+  test("rebucket doubles the layout width with value parity and intact fence") {
+    import spark.implicits._
+    import graft.merge.MergeEngine
+    import graft.model.ChangeEvent
+    val t = IceTable.create(tmpDir("rbk"), numBuckets = 4)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 4, nLogPartitions = 4)
+    val before = shaState(t)
+    assert(t.numBuckets == 4)
+
+    val rep = graft.maintenance.Rebucket.rebucket(spark, t, 8)
+    assert(rep.oldNumBuckets == 4 && rep.newNumBuckets == 8 && rep.rows > 0)
+    assert(t.numBuckets == 8,
+      "the manifest must record the new bucket count")
+    val m = t.currentManifest().get
+    assert(m.files.map(_.bucket).distinct.size > 4,
+      "rows must actually spread over the widened layout")
+    assert(shaState(t) == before, "user table unchanged by rebucket")
+
+    // fence intact: a full replay of the ingested log is still fenced
+    val reports = ReplayJob.replayGenerated(spark, t, spec, nEpochs = 4,
+      nLogPartitions = 4)
+    assert(reports.forall(_.skipped), "replay after rebucket must be fenced")
+
+    // new ingest + compaction now plan against the 8-bucket layout
+    val ev = Seq(ChangeEvent("u", spec.nEvents.toLong, "rX", "pX",
+      "c" * 40, "scala", "NEW"))
+    MergeEngine.applyEpoch(spark, t, ev.toDS(), 99, nLogPartitions = 4,
+      claimedRange = Some((spec.nEvents - 1L, spec.nEvents.toLong)))
+    Compaction.compact(spark, t)
+    assert(shaState(t) ==
+      before + (("rX", "pX") -> graft.log.OracleFold.sha256Hex("NEW")))
+    assert(t.currentManifest().get.files.forall(_.bucket < 8))
+  }
+
   test("safeHorizon respects committed-interval gaps") {
     import graft.model.{EpochManifest, EpochStats, OffsetRange}
     val m = EpochManifest(0, 0, 1, Nil,

@@ -1,0 +1,188 @@
+package graft
+
+import graft.log.OracleFold
+import graft.merge.MergeEngine
+import graft.model._
+import graft.table.{FileStats, IceTable, ManifestJson}
+import org.apache.spark.sql.functions._
+
+/** Per-file column stats in the manifest + file-level data skipping
+  * (Iceberg-metrics-style scan pruning), incremental `readChangesSince`,
+  * time-based retention, and the bounded footer-read pool. */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def commit40 = "c" * 40
+
+  private def rows(t: IceTable, keys: Seq[String], seqBase: Long,
+                   value: String => String = k => s"v$k") =
+    keys.map(k => ("r", k, commit40, "scala", value(k),
+        OracleFold.sha256Hex(value(k))))
+      .toDF("repo", "path", "commit", "lang", "content", "contentSha")
+      .withColumn("bucket", t.bucketCol(col("repo"), col("path")))
+      .withColumn("lastSeq", lit(seqBase))
+      .withColumn("deleted", lit(false))
+
+  private def offsets2(hi: Long): Seq[OffsetRange] =
+    (0 until 2).map(p => OffsetRange(p, -1L, hi))
+
+  private def shaState(t: IceTable): Map[String, String] =
+    t.read(spark).select("path", "contentSha").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("manifest entries carry footer stats (rows, key and seq bounds)") {
+    val t = IceTable.create(tmpDir("stats"), numBuckets = 4)
+    val fs = t.writeEpochFiles(rows(t, (0 until 40).map(i => f"p$i%02d"), 7L), 0)
+    assert(fs.nonEmpty)
+    fs.foreach { f =>
+      assert(f.rows > 0, s"rows must be footer-filled: $f")
+      assert(f.minSeq.contains(7L) && f.maxSeq.contains(7L))
+      assert(f.minKey.isDefined && f.maxKey.isDefined)
+      assert(FileStats.keyCompare(f.minKey.get, f.maxKey.get) <= 0)
+      assert(f.minKey.get.startsWith("r" + FileStats.KeySep))
+    }
+    assert(fs.map(_.rows).sum == 40L)
+  }
+
+  test("salted files record exact residue classes; a later epoch skips them") {
+    val t = IceTable.create(tmpDir("salt"), numBuckets = 1)
+    val keys = (0 until 100).map(i => f"p$i%02d")
+    val salted = t.writeEpochFiles(rows(t, keys, 50L), 0, saltPerBucket = 4)
+    assert(salted.map(_.saltRes).toSet == Set(0, 1, 2, 3),
+      "each residue class must land in its own file(s)")
+    assert(salted.forall(_.saltMod == 4))
+    // residue classes are EXACT: every file's rows satisfy its recorded class
+    salted.foreach { f =>
+      val bad = spark.read.parquet(f.path)
+        .filter(pmod(xxhash64(col("path")), lit(4)).cast("int") =!= f.saltRes)
+        .count()
+      assert(bad == 0, s"file ${f.path} holds rows outside residue ${f.saltRes}")
+    }
+    t.commit(EpochManifest(0, 0, 1, salted, offsets2(50L),
+      EpochStats(100, 0, 0, 100, 0, 0), -1L, completeUntilSeq = 50L,
+      numBuckets = 1))
+    val before = shaState(t)
+
+    // one-key epoch: only the key's residue file may be rewritten
+    val hitKey = "p07"
+    val res = spark.range(1)
+      .select(pmod(xxhash64(lit(hitKey)), lit(4)).cast("int")).head().getInt(0)
+    val ev = Seq(ChangeEvent("u", 51L, "r", hitKey, commit40, "scala", "NEW"))
+    val out = MergeEngine.applyEpoch(spark, t, ev.toDS(), 1,
+      nLogPartitions = 2, claimedRange = Some((50L, 51L)))
+    assert(!out.skipped && out.stats.rowsApplied == 1)
+
+    val m = t.currentManifest().get
+    val carried = salted.filter(_.saltRes != res).map(_.path).toSet
+    assert(carried.subsetOf(m.files.map(_.path).toSet),
+      "files of other residue classes must carry forward BY REFERENCE")
+    assert(salted.filter(_.saltRes == res)
+      .forall(f => !m.files.map(_.path).contains(f.path)),
+      "the hit residue's file must be rewritten")
+    assert(shaState(t) == before.updated(hitKey, OracleFold.sha256Hex("NEW")),
+      "skipping must not change the table's contents")
+  }
+
+  test("key-range-disjoint files in a touched bucket carry forward") {
+    val t = IceTable.create(tmpDir("krange"), numBuckets = 1)
+    val aKeys = (0 until 50).map(i => f"a$i%02d")
+    val zKeys = (0 until 50).map(i => f"z$i%02d")
+    val fa = t.writeEpochFiles(rows(t, aKeys, 10L), 0)
+    val fz = t.writeEpochFiles(rows(t, zKeys, 10L), 1)
+    t.commit(EpochManifest(0, 1, 1, (fa ++ fz).sortBy(_.path), offsets2(10L),
+      EpochStats(100, 0, 0, 100, 0, 0), -1L, completeUntilSeq = 10L,
+      numBuckets = 1))
+    val before = shaState(t)
+
+    val ev = Seq(ChangeEvent("u", 11L, "r", "a05", commit40, "scala", "NEW"))
+    MergeEngine.applyEpoch(spark, t, ev.toDS(), 2,
+      nLogPartitions = 2, claimedRange = Some((10L, 11L)))
+    val m = t.currentManifest().get
+    assert(fz.map(_.path).toSet.subsetOf(m.files.map(_.path).toSet),
+      "the z-range file's key bounds exclude the winner: carry by reference")
+    assert(fa.forall(f => !m.files.map(_.path).contains(f.path)),
+      "the a-range file must be rewritten")
+    assert(shaState(t) == before.updated("a05", OracleFold.sha256Hex("NEW")))
+  }
+
+  test("readChangesSince prunes files by seq stats and returns the delta") {
+    val t = IceTable.create(tmpDir("since"), numBuckets = 4)
+    val evs = (0 until 40).map(i =>
+      ChangeEvent("i", i + 1L, "r", f"k$i%02d", commit40, "scala", s"v$i"))
+    MergeEngine.applyEpoch(spark, t, evs.toDS(), 0, nLogPartitions = 2,
+      claimedRange = Some((0L, 40L)))
+    val ev2 = Seq(ChangeEvent("u", 41L, "r", "k03", commit40, "scala", "NEW"))
+    MergeEngine.applyEpoch(spark, t, ev2.toDS(), 1, nLogPartitions = 2,
+      claimedRange = Some((40L, 41L)))
+
+    val m = t.currentManifest().get
+    val touched = t.filesTouchedSince(m.files, 40L)
+    assert(touched.size < m.files.size,
+      s"stats pruning must drop epoch-0 buckets (kept ${touched.size} of " +
+        s"${m.files.size})")
+    val delta = t.readChangesSince(spark, 40L).collect()
+    assert(delta.length == 1)
+    val r = delta.head
+    assert(r.getAs[String]("path") == "k03" &&
+      r.getAs[Long]("lastSeq") == 41L &&
+      r.getAs[String]("content") == "NEW")
+  }
+
+  test("age-based retention expires old snapshots, keeps readers unaffected") {
+    val t = IceTable.create(tmpDir("ret"), numBuckets = 2)
+    def commitGen(v: Long, keys: Seq[String], seq: Long): Unit = {
+      val fs = t.writeEpochFiles(rows(t, keys, seq), v)
+      val parent = t.currentManifest()
+      t.commit(EpochManifest(v, v, 1, fs, offsets2(seq),
+        EpochStats(keys.size, 0, 0, keys.size, 0, 0),
+        parent.map(_.version).getOrElse(-1L), completeUntilSeq = seq,
+        numBuckets = 2))
+    }
+    commitGen(0, Seq("a"), 1L)
+    commitGen(1, Seq("a", "b"), 2L)
+    Thread.sleep(80)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    commitGen(2, Seq("a", "b", "c"), 3L)
+
+    // age alone is not enough when keepLast retains the version
+    assert(t.expireSnapshots(keepLast = 3, olderThanMillis = cut) == ((0, 0)))
+    // combined: v0 and v1 are both old AND beyond keepLast=1
+    val (snaps, files) = t.expireSnapshots(keepLast = 1, olderThanMillis = cut)
+    assert(snaps == 2, s"v0+v1 must expire (got $snaps)")
+    assert(files > 0, "unreferenced data files of expired snapshots go too")
+    assert(t.currentVersion() == 2L)
+    assert(shaState(t).keySet == Set("a", "b", "c"))
+    intercept[Exception] { t.readAt(spark, 0L) } // manifest gone
+  }
+
+  test("footer pool aborts on a hung metadata read instead of stalling") {
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("fs.slowfs.impl", classOf[SlowGraftFileSystem].getName)
+    val e = intercept[IllegalStateException] {
+      FileStats.fillAll(conf,
+        Seq(DataFileEntry("slowfs:///nowhere/x.parquet", 0, -1L, 1)),
+        timeoutSec = 1L)
+    }
+    assert(e.getMessage.contains("timed out") &&
+      e.getMessage.contains("x.parquet"),
+      s"error must name the stuck file: ${e.getMessage}")
+  }
+
+  test("legacy manifests without the new fields parse with safe defaults") {
+    val legacy =
+      """{"version":3,"epochId":3,"schemaId":1,
+         "files":[{"path":"/d/f.parquet","bucket":2,"rows":-1,"schemaId":1,
+                   "bytes":123}],
+         "offsets":[{"partitionId":0,"lowSeq":-1,"highSeq":9}],
+         "stats":{"rowsExtracted":1,"rowsQuarantined":0,"dedupDrops":0,
+                  "rowsApplied":1,"deletesApplied":0,"staleDrops":0},
+         "parentVersion":2}"""
+    val m = ManifestJson.parse(legacy)
+    assert(m.numBuckets == -1 && m.commitTimeMillis == -1L &&
+      m.completeUntilSeq == Long.MinValue)
+    val f = m.files.head
+    assert(f.minKey.isEmpty && f.maxKey.isEmpty && f.minSeq.isEmpty &&
+      f.maxSeq.isEmpty && f.saltMod == 1 && f.saltRes == -1)
+  }
+}

@@ -10,3 +10,21 @@ class GraftTestFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "graftfs"
   override def getUri: URI = URI.create("graftfs:///")
 }
+
+/** Failure-injection FS: every `open` hangs far longer than any test
+  * timeout — models a stuck object-store metadata read (FileStats must
+  * abort with a bounded timeout instead of stalling the job). */
+class SlowGraftFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "slowfs"
+  override def getUri: URI = URI.create("slowfs:///")
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    Thread.sleep(600000L)
+    super.getFileStatus(f)
+  }
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    Thread.sleep(600000L)
+    super.open(f, bufferSize)
+  }
+}

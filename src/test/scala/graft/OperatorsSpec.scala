@@ -178,10 +178,12 @@ class OperatorsSpec extends SparkSpec {
     val lsh = SparkEntry.queries("v4_lsh_knn")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf & lsh).size.toDouble / bf.size
-    // 4 tables x 4 bits measures 0.40 on this (fixed, near-random) data at a
-    // 19% candidate fraction — LSH's worst case; clustered embeddings do
-    // far better. Deterministic data => stable bound.
-    assert(recall >= 0.35,
+    // 4 tables x 4 bits with query-directed multi-probe (1 lowest-margin
+    // flip per table) measures 0.533 on this (fixed, near-random) data at a
+    // 37% candidate fraction (single-probe was 0.40 at 19%) — LSH's worst
+    // case; clustered embeddings do far better. Deterministic data =>
+    // stable bound.
+    assert(recall >= 0.5,
       s"LSH top-3 recall vs brute force too low: $recall (|bf|=${bf.size})")
     // sanity: candidates come from same-bucket pairs only, so any overlap
     // proves end-to-end retrieval (bucket -> candidate -> exact re-rank)

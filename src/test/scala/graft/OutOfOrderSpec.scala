@@ -245,4 +245,63 @@ class OutOfOrderSpec extends SparkSpec {
     assert(!Intervals.covers(Seq((0L, 3L)), 0L)) // open-low
     assert(Intervals.covers(Seq((0L, 3L)), 3L))  // closed-high
   }
+
+  test("interval algebra: intersect (grown-universe entry fence)") {
+    assert(Intervals.intersect(Seq((-1L, 10L)), Seq((-1L, 7L), (8L, 12L)))
+      == Seq((-1L, 7L), (8L, 10L)))
+    assert(Intervals.intersect(Seq((0L, 5L)), Seq((5L, 9L))) == Nil)
+    assert(Intervals.intersect(Nil, Seq((0L, 5L))) == Nil)
+  }
+
+  test("gap-dense fence: native expression is codegen'd and fences exactly") {
+    import graft.functions.{IntervalIndex, IntervalInside}
+    import org.apache.spark.sql.functions._
+    // 600 committed intervals (> the 256 Column-tree threshold): each
+    // (2i, 2i+1] covers only the odd seq 2i+1, i < 300
+    val ivs: Map[Int, Seq[(Long, Long)]] = (0 until 2).map(p =>
+      p -> (0 until 300).map(i => (2L * i, 2L * i + 1)).toSeq).toMap
+    // index vs interval algebra on random probes (incl. foreign partitions)
+    val idx = IntervalIndex.build(ivs)
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val p = rnd.between(-1, 4)
+      val s = rnd.between(-50L, 700L)
+      val want = ivs.get(p).exists(Intervals.covers(_, s))
+      assert(idx.inside(p, s) == want, s"index mismatch at ($p, $s)")
+    }
+    // plan audit: the fence filter stays INSIDE whole-stage codegen (the r3
+    // scalar-UDF fallback boxed every row on exactly the gap-dense epochs)
+    val df = spark.range(0, 1000)
+      .select(pmod(col("id"), lit(2)).cast("int").as("logPart"),
+        col("id").as("seq"))
+    val fenced = df.filter(!IntervalInside(col("logPart"), col("seq"), ivs))
+    val plan = fenced.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_interval_inside"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("*(")),
+      s"fence filter must be codegen'd:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    val kept = fenced.collect().map(_.getLong(1)).toSet
+    val want = (0L until 1000L).filter(s => s % 2 == 0 || s > 599L).toSet
+    assert(kept == want, "fence must drop exactly the covered seqs")
+  }
+
+  test("gap-dense history: engine fence drops exactly the committed seqs") {
+    import graft.model.{EpochManifest, EpochStats, OffsetRange}
+    val t = IceTable.create(tmpDir("gapdense"), numBuckets = 2)
+    val offs = for { p <- 0 until 2; i <- 0 until 200 }
+      yield OffsetRange(p, 2L * i, 2L * i + 1)
+    t.commit(EpochManifest(0, 0, 1, Nil, offs,
+      EpochStats(0, 0, 0, 0, 0, 0), -1L))
+    // seqs 1..20: odds are inside committed intervals (fenced), evens fresh
+    val evs = (1 to 20).map(s => ChangeEvent("u", s.toLong, "r", s"p$s",
+      f"$s%040d", "scala", s"v$s"))
+    val out = MergeEngine.applyEpoch(spark, t, evs.toDS(), 1,
+      nLogPartitions = 2)
+    assert(out.stats.rowsApplied == 10,
+      s"exactly the 10 even seqs must apply: ${out.stats}")
+    val want = (2 to 20 by 2).map(s => ("r", s"p$s") ->
+      OracleFold.sha256Hex(s"v$s")).toMap
+    assert(shaState(t) == want)
+  }
 }

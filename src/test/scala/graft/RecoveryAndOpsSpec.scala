@@ -161,11 +161,32 @@ class RecoveryAndOpsSpec extends SparkSpec {
     assert(t.currentManifest().get.completeUntilSeq == 104L)
   }
 
-  test("partition-universe mismatch fails fast instead of freezing horizons") {
-    val t = truncatedScenario() // committed with nLogPartitions = 2
+  test("partition-universe GROWTH widens the fence; shrinking fails fast") {
+    // shrinking strands claims → still a fail-fast
+    val t0 = truncatedScenario() // committed with nLogPartitions = 2
     intercept[IllegalArgumentException] {
-      MergeEngine.applyEpoch(spark, t, slice(499, 510), 1, nLogPartitions = 4)
+      MergeEngine.applyEpoch(spark, t0, slice(499, 510), 1, nLogPartitions = 1)
     }
+
+    // growing mid-replay: new partitions enter with the intersection fence,
+    // so completeness keeps advancing and replays stay fully fenced
+    val t = truncatedScenario() // (-1, 499] committed on partitions {0, 1}
+    MergeEngine.applyEpoch(spark, t, slice(499, 999), 1, nLogPartitions = 4,
+      claimedRange = Some((499L, 999L)))
+    val m = t.currentManifest().get
+    assert(m.offsets.map(_.partitionId).toSet == Set(0, 1, 2, 3),
+      "the widened universe must persist with the commit")
+    assert(m.offsets.forall(r => r.lowSeq == -1L && r.highSeq == 999L),
+      "new partitions must inherit the intersection (origin-anchored) fence")
+    assert(m.completeUntilSeq == 999L,
+      "growth must not freeze the completeness horizon")
+    // a FULL replay under the grown universe is fully fenced
+    val replay = MergeEngine.applyEpoch(spark, t, slice(-1, 999), 2,
+      nLogPartitions = 4)
+    assert(replay.skipped, "replay after growth must be fenced to a no-op")
+    val want = OracleFold.fold(ChangeLogGen.generateLocal(spec))
+      .map { case (k, v) => k -> v.contentSha }
+    assert(sha(t) == want, "grown-universe ingest must match the oracle fold")
   }
 
   test("completeness watermark: gap blocks it, filling the gap advances it") {
