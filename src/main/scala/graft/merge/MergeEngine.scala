@@ -446,7 +446,14 @@ object MergeEngine {
           .contains(f.saltRes)
       keyDisjoint || residueMiss
     }
-    val (skippedFiles, touchedFiles) = bucketTouched.partition(fileSkippable)
+    // spark.graft.fileSkipping=false disables the pruning (A/B + escape
+    // hatch); correctness never depends on it — a skipped file is identical
+    // to its rewritten copy.
+    val skipEnabled = spark.conf
+      .getOption("spark.graft.fileSkipping").forall(_.toBoolean)
+    val (skippedFiles, touchedFiles) =
+      if (skipEnabled) bucketTouched.partition(fileSkippable)
+      else (Seq.empty[graft.model.DataFileEntry], bucketTouched)
     val keptFiles = untouchedFiles ++ skippedFiles
 
     // Bucket-aligned merge (storage-partitioned join): the target side is a
