@@ -234,6 +234,62 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
       .drop("bucket", "lastSeq", "deleted")
   }
 
+  /** Driver-side replica of Spark's `xxhash64(repo, path)` fold (seed 42,
+    * each column hashed over its UTF-8 bytes with the running hash as
+    * seed) — lets the lookup path compute a key's bucket without a Spark
+    * job. Cross-checked against [[bucketCol]] by spec. */
+  def bucketOf(repo: String, path: String, nBuckets: Int = -1): Int = {
+    val n = if (nBuckets > 0) nBuckets else numBuckets
+    val h = Seq(repo, path).foldLeft(42L) { (seed, s) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
+    }
+    val m = (h % n).toInt
+    if (m < 0) m + n else m
+  }
+
+  /** Candidate data files that can hold key `(repo, path)` under manifest
+    * `m`: ONE bucket's files, minus files whose stats preclude the key
+    * (key outside [minKey, maxKey] in unsigned byte order, or a salt
+    * residue class the key does not hash into). Stats-less files are kept. */
+  def lookupCandidateFiles(m: EpochManifest, repo: String, path: String)
+      : Seq[DataFileEntry] = {
+    val n = bucketCountOf(Some(m))
+    val b = bucketOf(repo, path, n)
+    val key = repo + FileStats.KeySep + path
+    m.files.filter { f =>
+      f.bucket == b &&
+        f.minKey.forall(mk => FileStats.keyCompare(key, mk) >= 0) &&
+        f.maxKey.forall(mk => FileStats.keyCompare(key, mk) <= 0) &&
+        (f.saltMod <= 1 || f.saltRes < 0 || {
+          val h = {
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(path)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+                u.numBytes(), 42L)
+          }
+          val r = (h % f.saltMod).toInt
+          (if (r < 0) r + f.saltMod else r) == f.saltRes
+        })
+    }
+  }
+
+  /** POINT LOOKUP (serving path): the user-view row(s) for one exact key,
+    * reading only the files that can hold it — bucket pruning by the key
+    * hash, then manifest-stats pruning (key range + salt residue), then
+    * parquet row-group pruning via the pushed key predicate. At 100 TB a
+    * key lookup opens a handful of files, never the table. */
+  def lookup(spark: SparkSession, repo: String, path: String): DataFrame =
+    currentManifest() match {
+      case None => read(spark).filter(lit(false))
+      case Some(m) =>
+        readFiles(spark, lookupCandidateFiles(m, repo, path), m.schemaId)
+          .filter(col("repo") === repo && col("path") === path)
+          .filter(!coalesce(col("deleted"), lit(false)))
+          .drop("bucket", "lastSeq", "deleted")
+    }
+
   /** Files of `files` that can hold a row with lastSeq > `sinceSeq`
     * (manifest-stats pruning; files without stats are kept — skipping is
     * only ever an optimization). */

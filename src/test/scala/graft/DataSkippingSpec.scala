@@ -128,6 +128,34 @@ class DataSkippingSpec extends SparkSpec {
       r.getAs[String]("content") == "NEW")
   }
 
+  test("point lookup: one bucket, stats-admitted files only, exact row") {
+    val t = IceTable.create(tmpDir("lkp"), numBuckets = 8)
+    val keys = (0 until 200).map(i => f"p$i%03d")
+    val fs = t.writeEpochFiles(rows(t, keys, 5L), 0, saltPerBucket = 4)
+    t.commit(EpochManifest(0, 0, 1, fs, offsets2(5L),
+      EpochStats(200, 0, 0, 200, 0, 0), -1L, completeUntilSeq = 5L,
+      numBuckets = 8))
+    val m = t.currentManifest().get
+
+    // driver-side bucketOf must replicate Spark's xxhash64 bucketing exactly
+    val viaSpark = rows(t, keys, 5L)
+      .select(col("path"), t.bucketCol(col("repo"), col("path")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    keys.foreach(k => assert(t.bucketOf("r", k) == viaSpark(k),
+      s"bucketOf diverges from Spark xxhash64 for $k"))
+
+    keys.take(25).foreach { k =>
+      val cand = t.lookupCandidateFiles(m, "r", k)
+      val bucketFiles = m.files.count(_.bucket == t.bucketOf("r", k))
+      assert(cand.nonEmpty && cand.size < bucketFiles,
+        s"$k: residue pruning must drop sibling salt files " +
+          s"(${cand.size} of $bucketFiles)")
+      val row = t.lookup(spark, "r", k).collect()
+      assert(row.length == 1 && row.head.getAs[String]("content") == s"v$k")
+    }
+    assert(t.lookup(spark, "r", "missing").isEmpty)
+  }
+
   test("age-based retention expires old snapshots, keeps readers unaffected") {
     val t = IceTable.create(tmpDir("ret"), numBuckets = 2)
     def commitGen(v: Long, keys: Seq[String], seq: Long): Unit = {
