@@ -58,7 +58,11 @@ object Compaction {
     * file per bucket, so a files-count threshold alone would never select
     * them). Pass 2+ for scoped maintenance of salted/fragmented buckets. */
   def compact(spark: SparkSession, table: IceTable,
-              minFilesPerBucket: Int = 1): CompactionReport = {
+              minFilesPerBucket: Int = 1): CompactionReport =
+    // observation-safe: an ALL-PURGE rewrite is runtime-empty, and AQE's
+    // empty-relation propagation would prune the verifier's CollectMetrics
+    // node — obs.get below would hang forever (graft.table.AqeSafety)
+    graft.table.AqeSafety.withObservationsSafe(spark) {
     val parent = table.currentManifest().getOrElse(
       throw new IllegalStateException("nothing to compact"))
     val horizon = safeHorizon(parent)
@@ -117,6 +121,13 @@ object Compaction {
     //     `deleted` column (column pruning — about a bit per row), not the
     //     table data, so it is not the full second read this replaced.
     val counted = newFiles
+    // footer counts are this verifier's evidence — a stats-less entry
+    // (degraded footer read) means the check CANNOT pass; abort before
+    // commit (files stay unreferenced orphans) instead of comparing junk
+    require(counted.forall(_.rows >= 0),
+      s"compaction verifier failed: footer counts unavailable for " +
+        s"${counted.filter(_.rows < 0).map(_.path).mkString(", ")}; " +
+        "aborting (no commit)")
     val writtenRows = counted.map(_.rows).sum
     require(writtenRows == keptRows,
       s"compaction verifier failed: rewrite observed $keptRows kept rows " +
@@ -134,8 +145,8 @@ object Compaction {
       files = (carried ++ counted).sortBy(f => (f.bucket, f.path)),
       stats = EpochStats(0, 0, 0, 0, 0, 0),
       parentVersion = parent.version)
-    table.commit(manifest)
-    CompactionReport(manifest.version, purged, liveBefore,
-      manifest.files.size, fragBuckets.size, carried.size)
-  }
+    val committed = table.commit(manifest)
+    CompactionReport(committed.version, purged, liveBefore,
+      committed.files.size, fragBuckets.size, carried.size)
+    }
 }

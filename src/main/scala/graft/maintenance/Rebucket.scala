@@ -34,7 +34,11 @@ object Rebucket {
       rows: Long, files: Int)
 
   def rebucket(spark: SparkSession, table: IceTable,
-               newNumBuckets: Int): RebucketReport = {
+               newNumBuckets: Int): RebucketReport =
+    // observation-safe: rebucketing a table whose rows all filter away at
+    // runtime would be an empty plan; keep the verifier's CollectMetrics
+    // node alive (graft.table.AqeSafety) so obs.get cannot hang
+    graft.table.AqeSafety.withObservationsSafe(spark) {
     val parent = table.currentManifest().getOrElse(
       throw new IllegalStateException("nothing to rebucket"))
     val oldN = table.bucketCountOf(Some(parent))
@@ -54,6 +58,10 @@ object Rebucket {
       nBuckets = newNumBuckets)
 
     val rowsIn = obs.get.apply("n").asInstanceOf[Long]
+    require(newFiles.forall(_.rows >= 0),
+      s"rebucket verifier failed: footer counts unavailable for " +
+        s"${newFiles.filter(_.rows < 0).map(_.path).mkString(", ")}; " +
+        "aborting (no commit)")
     val rowsOut = newFiles.map(_.rows).sum
     require(rowsOut == rowsIn,
       s"rebucket verifier failed: read $rowsIn rows but published files " +
@@ -66,8 +74,8 @@ object Rebucket {
       stats = EpochStats(0, 0, 0, 0, 0, 0),
       parentVersion = parent.version,
       numBuckets = newNumBuckets)
-    table.commit(manifest)
-    RebucketReport(manifest.version, oldN, newNumBuckets, rowsOut,
+    val committed = table.commit(manifest)
+    RebucketReport(committed.version, oldN, newNumBuckets, rowsOut,
       newFiles.size)
-  }
+    }
 }

@@ -130,12 +130,28 @@ object MergeEngine {
     // against the winner side laid out in the same key-grouped layout
     // (storage-partitioned join; without `shuffle.enabled` EnsureRequirements
     // refuses the match and re-shuffles BOTH sides).
+    // The excludedRules entry keeps AQE's empty-relation propagation from
+    // pruning CollectMetrics nodes out of runtime-empty plans — on a
+    // FULLY-FENCED replay epoch the winner aggregate is empty by design,
+    // and without this the epoch's observations would never fire (see
+    // graft.table.AqeSafety).
     val scopedConfs = Seq(
       "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
-      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")
-    val prevConfs = scopedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    scopedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.adaptive.optimizer.excludedRules" ->
+        graft.table.AqeSafety.mergedExcludedRules(spark))
+    // Inside foreachBatch the batch Dataset is bound to the STREAM'S CLONED
+    // session (own SQLConf); a conf set only on the outer session would not
+    // reach the batch plans' adaptive re-optimization. Scope the confs on
+    // BOTH sessions (they share one SparkContext).
+    val confSessions =
+      if (rawEvents.sparkSession eq spark) Seq(spark)
+      else Seq(spark, rawEvents.sparkSession)
+    val prevConfs = confSessions.flatMap(s =>
+      scopedConfs.map { case (k, _) => (s, k, s.conf.getOption(k)) })
+    confSessions.foreach(s =>
+      scopedConfs.foreach { case (k, v) => s.conf.set(k, v) })
     try {
 
     val parent = table.currentManifest()
@@ -266,20 +282,28 @@ object MergeEngine {
 
     val quarantined: Long = quarantinedEarly.getOrElse {
       // the winners job above was the first action over the observed input.
-      // Drain the listener bus for the fast path, but NEVER default a
-      // missed observation to 0 — that would silently vanish policy-dropped
-      // rows from accounting while RowCountReconciliation (fed from the
-      // same value) stayed self-consistently blind. If the drain timed out,
-      // fall back to the BLOCKING Observation.get: safe because the action
-      // already ran, so the listener event is in flight, and correct
-      // because it either yields the real count or fails the epoch loudly.
-      org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 10000L)
-      org.apache.spark.sql.GraftSqlBridge.observationResult(inObs)
-        .flatMap(_.get("bad")) match {
+      // NEVER default a missed observation to 0 — that would silently
+      // vanish policy-dropped rows from accounting while
+      // RowCountReconciliation (fed from the same value) stayed
+      // self-consistently blind. And never block UNBOUNDED on
+      // Observation.get either: an overloaded listener bus can DROP the
+      // completion event, in which case get would hang the ingest driver
+      // forever. Bounded retries of drain+read; then fail the epoch loudly
+      // (nothing committed — the stream/operator retries it).
+      var result: Option[Any] = None
+      var attempts = 0
+      while (result.isEmpty && attempts < 3) {
+        org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 10000L)
+        result = org.apache.spark.sql.GraftSqlBridge.observationResult(inObs)
+          .flatMap(_.get("bad"))
+        attempts += 1
+      }
+      result match {
         case Some(v) => if (v == null) 0L else v.asInstanceOf[Long]
-        case None =>
-          val v = inObs.get.get("bad").orNull
-          if (v == null) 0L else v.asInstanceOf[Long]
+        case None => throw new IllegalStateException(
+          "policy-discard observation never arrived after 3 listener-bus " +
+            "drains (~30s) — failing the epoch instead of under-reporting " +
+            "extraction (nothing was committed; retry the epoch)")
       }
     }
 
@@ -384,8 +408,8 @@ object MergeEngine {
           completeUntilSeq = complete0, numBuckets = nBuckets))
         .getOrElse(EpochManifest(0L, epochId, SchemaRegistry.baseSchemaId,
           Nil, mo, st, -1L, complete0, numBuckets = nBuckets))
-      table.commit(m)
-      return EpochOutcome(m, skipped = true, st)
+      val committed = table.commit(m)
+      return EpochOutcome(committed, skipped = true, st)
     }
 
     val upsertCount = upsertCountEarly
@@ -419,11 +443,20 @@ object MergeEngine {
     //    previously-salted hot bucket rewrites one salt slice, not all.
     // Files without stats are never skipped. Matches at 100 TB: the merge
     // reads what the epoch can change, not what the bucket holds.
+    // spark.graft.fileSkipping=false disables the pruning (A/B + escape
+    // hatch); correctness never depends on it — a skipped file is identical
+    // to its rewritten copy. Gated HERE so the disabled path also skips the
+    // residue aggregates below (the A/B must not pay part of the cost it
+    // measures).
+    val skipEnabled = spark.conf
+      .getOption("spark.graft.fileSkipping").forall(_.toBoolean)
     val winnerKeyRange: Map[Int, (String, String)] = perGroup.map(r =>
       r.getAs[Int]("bucket") ->
         (r.getAs[String]("minKey"), r.getAs[String]("maxKey"))).toMap
-    val saltMods = bucketTouched
-      .filter(f => f.saltMod > 1 && f.saltRes >= 0).map(_.saltMod).distinct
+    val saltMods =
+      if (!skipEnabled) Seq.empty[Int]
+      else bucketTouched
+        .filter(f => f.saltMod > 1 && f.saltRes >= 0).map(_.saltMod).distinct
     // winner residue classes per bucket, one tiny aggregate per distinct
     // saltMod over the persisted winner envelopes (usually zero or one)
     val winnerResidues: Map[Int, Map[Int, Set[Int]]] = saltMods.map { m =>
@@ -446,11 +479,6 @@ object MergeEngine {
           .contains(f.saltRes)
       keyDisjoint || residueMiss
     }
-    // spark.graft.fileSkipping=false disables the pruning (A/B + escape
-    // hatch); correctness never depends on it — a skipped file is identical
-    // to its rewritten copy.
-    val skipEnabled = spark.conf
-      .getOption("spark.graft.fileSkipping").forall(_.toBoolean)
     val (skippedFiles, touchedFiles) =
       if (skipEnabled) bucketTouched.partition(fileSkippable)
       else (Seq.empty[graft.model.DataFileEntry], bucketTouched)
@@ -628,14 +656,14 @@ object MergeEngine {
     // --- 6. task-level policy gate: abort (no commit) on failure ---------
     graft.pipeline.TaskPolicies.enforce(taskPolicies, stats)
 
-    timed("commit")(table.commit(manifest))
-    EpochOutcome(manifest, skipped = false, stats)
+    val committed = timed("commit")(table.commit(manifest))
+    EpochOutcome(committed, skipped = false, stats)
     } finally { winners.unpersist(); () }
 
     } finally {
       prevConfs.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
+        case (s, k, Some(v)) => s.conf.set(k, v)
+        case (s, k, None) => s.conf.unset(k)
       }
     }
   }

@@ -39,14 +39,35 @@ object CdcQueries {
 
   /** one shutdown hook per distinct work dir: the pid-scoped engine dirs
     * are reusable across invocations WITHIN a process but must not
-    * accumulate across processes */
+    * accumulate across processes. The hook covers clean exits; the sweep
+    * below covers SIGKILL/OOM-killed processes, whose dirs no later run
+    * would otherwise ever name again (full table copies → /tmp fill). */
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def registerCleanup(dir: String): Unit =
-    if (cleanupRegistered.add(dir))
+    if (cleanupRegistered.add(dir)) {
+      sweepStaleDirs
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(dir)): Unit))
+    }
+
+  /** once per process: delete graft-engine-q-<pid>-* dirs whose owning
+    * process is dead (crashed runs that never ran their shutdown hook) */
+  private lazy val sweepStaleDirs: Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val Stale = """graft-engine-q-(\d+)-.*""".r
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case Stale(pid) if f.isDirectory &&
+            pid.toLong != ProcessHandle.current().pid() &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
+              .orElse(false) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(f): Unit
+        case _ => ()
+      }
+    }
+  }
 
   private val deriveSql =
     """SELECT CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,

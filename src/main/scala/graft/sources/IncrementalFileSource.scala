@@ -260,9 +260,13 @@ final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
     SparkSession.getActiveSession match {
       case Some(spark) =>
         val outDir = new HPath(ledgerDir, s".compact-${merged.getName}")
+        // repartition(1), NOT coalesce(1): coalesce would collapse the
+        // upstream text scan into the single output task, serializing the
+        // whole ledger read; repartition keeps the read parallel and only
+        // funnels the shuffle into one writer
         spark.read.textFile(segs.map(_.toString): _*)
           .filter((l: String) => l.nonEmpty)
-          .coalesce(1)
+          .repartition(1)
           .write.mode("overwrite").text(outDir.toString)
         val part = f.listStatus(outDir).iterator
           .find(s => s.isFile && s.getPath.getName.startsWith("part-"))

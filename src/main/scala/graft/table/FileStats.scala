@@ -43,20 +43,13 @@ object FileStats {
   val KeySep = "\u0000"
 
   /** unsigned lexicographic UTF-8 byte comparison — the same order Spark's
-    * UTF8String and modern parquet UTF8 stats use (driver-side comparisons
+    * executors and modern parquet UTF8 stats use (driver-side comparisons
     * must match the executor-side min/max or a skip could be wrong for
-    * non-ASCII keys, where UTF-16 `String.compareTo` diverges). */
-  def keyCompare(a: String, b: String): Int = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+    * non-ASCII keys, where UTF-16 `String.compareTo` diverges). Delegates
+    * to UTF8String itself so the order can never drift from Spark's. */
+  def keyCompare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   private def utf8Min(s: Statistics[_]): Option[String] = s match {
     case _ if s.isEmpty || !s.hasNonNullValue => None
@@ -138,11 +131,22 @@ object FileStats {
 
   /** Fill `rows` + stats bounds into each entry via one pooled footer pass.
     * Bounded: at most 16 concurrent metadata reads, each with a hard
-    * `timeoutSec` — on timeout or failure the pool is `shutdownNow`n and the
-    * error names the file, so a hung object-store read aborts the job
-    * instead of stalling it forever. */
+    * `timeoutSec`, and the pool is `shutdownNow`n on exit — a hung
+    * object-store read can never stall the job indefinitely.
+    *
+    * Failure policy follows the stats' role. By default (`failFast=false`,
+    * the ingest write path) a per-file timeout/error DEGRADES that entry to
+    * stats-less (rows stays -1, bounds stay None) and the epoch proceeds —
+    * stats are an optimization, and "a file without stats is simply never
+    * skipped" must hold on the write side too; a transient metadata blip
+    * must not abort a merge whose data files are already published.
+    * Callers for whom the counts are a CORRECTNESS gate (compaction /
+    * rebucket verifiers) check `rows >= 0` afterwards and abort their
+    * commit loudly, or pass `failFast=true` to throw here with the stuck
+    * path named. */
   def fillAll(conf: Configuration, files: Seq[DataFileEntry],
-              timeoutSec: Long = 120L): Seq[DataFileEntry] = {
+              timeoutSec: Long = 120L,
+              failFast: Boolean = false): Seq[DataFileEntry] = {
     if (files.isEmpty) return files
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, files.size))
@@ -152,18 +156,24 @@ object FileStats {
           def call(): Stats = read(conf, f.path)
         }))
       futs.map { case (f, fut) =>
-        val s =
-          try fut.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+        val s: Option[Stats] =
+          try Some(fut.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS))
           catch {
             case e: java.util.concurrent.TimeoutException =>
-              throw new IllegalStateException(
+              if (failFast) throw new IllegalStateException(
                 s"footer read timed out after ${timeoutSec}s: ${f.path}", e)
+              System.err.println(s"[graft] footer read timed out " +
+                s"(${timeoutSec}s): ${f.path}; entry left stats-less")
+              None
             case e: java.util.concurrent.ExecutionException =>
-              throw new IllegalStateException(
+              if (failFast) throw new IllegalStateException(
                 s"footer read failed: ${f.path}", e.getCause)
+              System.err.println(s"[graft] footer read failed: ${f.path} " +
+                s"(${e.getCause}); entry left stats-less")
+              None
           }
-        f.copy(rows = s.rows, minKey = s.minKey, maxKey = s.maxKey,
-          minSeq = s.minSeq, maxSeq = s.maxSeq)
+        s.fold(f)(st => f.copy(rows = st.rows, minKey = st.minKey,
+          maxKey = st.maxKey, minSeq = st.minSeq, maxSeq = st.maxSeq))
       }
     } finally { pool.shutdownNow(); () }
   }

@@ -144,7 +144,10 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
     *  - other schemes: best-effort exists-check + rename; the window cannot
     *    be fully eliminated there and the `parentVersion` precondition is
     *    the practical protection. */
-  def commit(m: EpochManifest): Unit = {
+  /** Returns the COMMITTED manifest (the caller's `m` with the commit time
+    * stamped) — callers must hold on to the return value, not `m`, so
+    * in-memory state never diverges from the snapshot on disk. */
+  def commit(m: EpochManifest): EpochManifest = {
     val f = fs
     val cur = currentVersion()
     require(m.parentVersion == cur,
@@ -163,6 +166,7 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
       throw new IllegalArgumentException(
         s"concurrent writer detected: snapshot ${m.version} already committed")
     }
+    stamped
   }
 
   /** publish `src` at `dst` failing (false) when the destination exists —
@@ -514,12 +518,10 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
     SchemaRegistry.validateEvolution(
       SchemaRegistry.schemaFor(parent.schemaId),
       SchemaRegistry.schemaFor(toSchemaId))
-    val m = parent.copy(
+    commit(parent.copy(
       version = parent.version + 1,
       schemaId = toSchemaId,
-      parentVersion = parent.version)
-    commit(m)
-    m
+      parentVersion = parent.version))
   }
 
   /** Register the CURRENT snapshot's user view under a SQL-queryable name

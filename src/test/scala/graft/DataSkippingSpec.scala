@@ -184,13 +184,20 @@ class DataSkippingSpec extends SparkSpec {
     intercept[Exception] { t.readAt(spark, 0L) } // manifest gone
   }
 
-  test("footer pool aborts on a hung metadata read instead of stalling") {
+  test("footer pool bounds a hung metadata read: degrade or fail fast") {
     val conf = spark.sessionState.newHadoopConf()
     conf.set("fs.slowfs.impl", classOf[SlowGraftFileSystem].getName)
+    val entry = DataFileEntry("slowfs:///nowhere/x.parquet", 0, -1L, 1)
+    // ingest path (default): the entry degrades to stats-less, promptly —
+    // a transient metadata blip must not abort a merge epoch
+    val t0 = System.nanoTime()
+    val degraded = FileStats.fillAll(conf, Seq(entry), timeoutSec = 1L)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "must not hang")
+    assert(degraded.head.rows == -1L && degraded.head.minKey.isEmpty,
+      "hung footer must leave the entry stats-less, not fail the write")
+    // verifier path (failFast): abort loudly, naming the stuck file
     val e = intercept[IllegalStateException] {
-      FileStats.fillAll(conf,
-        Seq(DataFileEntry("slowfs:///nowhere/x.parquet", 0, -1L, 1)),
-        timeoutSec = 1L)
+      FileStats.fillAll(conf, Seq(entry), timeoutSec = 1L, failFast = true)
     }
     assert(e.getMessage.contains("timed out") &&
       e.getMessage.contains("x.parquet"),
