@@ -64,21 +64,47 @@ object IngestMain {
       case "maintain" =>
         // maintenance pass (CompactionSource analog): verifier-gated compact
         // (tombstone purge at the safe horizon, one file per bucket) +
-        // snapshot retention.
+        // snapshot retention (count-based; combined with AGE when
+        // maxAgeHours is given — the reference's policy-driven retention).
         val tableDir = args(1)
         val keepLast = args.lift(2).map(_.toInt).getOrElse(3)
         // files-per-bucket threshold: 1 = full pass (default), 2+ = scoped
         // maintenance of fragmented buckets only
         val minFiles = args.lift(3).map(_.toInt).getOrElse(1)
+        val olderThan = args.lift(4).map(_.toDouble)
+          .map(h => System.currentTimeMillis() - (h * 3600 * 1000).toLong)
+          .getOrElse(Long.MaxValue)
         val t = IceTable.create(tableDir)
         val rep = graft.maintenance.Compaction.compact(spark, t, minFiles)
-        val (ms, fs) = t.expireSnapshots(keepLast)
+        val (ms, fs) = t.expireSnapshots(keepLast, olderThan)
         println(f"mode=maintain version=${rep.version}%d " +
           f"purged_tombstones=${rep.purgedTombstones}%d " +
           f"live_rows=${rep.liveRows}%d files=${rep.files}%d " +
           f"compacted_buckets=${rep.compactedBuckets}%d " +
           f"carried_files=${rep.carriedFiles}%d " +
           f"expired_manifests=$ms%d deleted_files=$fs%d")
+      case "rebucket" =>
+        // layout migration: one verified snapshot in the new bucket count
+        // (partition-spec-evolution analog; old snapshots keep the old
+        // layout for time travel until retention expires them)
+        val Array(_, tableDir, newBuckets) = args.take(3)
+        val t = IceTable.create(tableDir)
+        val rep = graft.maintenance.Rebucket.rebucket(spark, t,
+          newBuckets.toInt)
+        println(f"mode=rebucket version=${rep.version}%d " +
+          f"old_buckets=${rep.oldNumBuckets}%d " +
+          f"new_buckets=${rep.newNumBuckets}%d rows=${rep.rows}%d " +
+          f"files=${rep.files}%d")
+      case "history" =>
+        // snapshot history (time-travel / retention planning surface)
+        val t = IceTable.create(args(1))
+        t.history().foreach(s => println(
+          f"version=${s.version}%d epoch=${s.epochId}%d " +
+            f"commit_ms=${s.commitTimeMillis}%d buckets=${s.numBuckets}%d " +
+            f"files=${s.files}%d bytes=${s.bytes}%d " +
+            f"rows_applied=${s.rowsApplied}%d " +
+            f"complete_until=${s.completeUntilSeq}%d"))
+        println(s"mode=history versions=${t.history().size}")
       case "replay-budgeted" =>
         // rate-controlled admission: a small probe epoch measures ingest
         // rate, then each epoch is sized so its expected duration fits the
@@ -140,8 +166,8 @@ object IngestMain {
           f"rate_ewma=${tracker.totalRate}%.0f " +
           f"final_rows=${t.read(spark).count()}%d version=${t.currentVersion()}%d")
       case other =>
-        System.err.println(
-          s"unknown mode '$other'; use replay|stream|replay-budgeted|maintain")
+        System.err.println(s"unknown mode '$other'; use " +
+          "replay|stream|replay-budgeted|maintain|rebucket|history")
         sys.exit(2)
     } finally spark.stop()
   }

@@ -238,6 +238,41 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
       .drop("bucket", "lastSeq", "deleted")
   }
 
+  /** One row per retained snapshot (oldest first) — the table-history
+    * surface an operator reads before time travel or retention. */
+  final case class SnapshotInfo(version: Long, epochId: Long,
+      commitTimeMillis: Long, schemaId: Int, numBuckets: Int,
+      files: Int, bytes: Long, rowsApplied: Long, completeUntilSeq: Long)
+
+  def history(): Seq[SnapshotInfo] =
+    listVersions().map { v =>
+      val m = readManifest(v)
+      SnapshotInfo(m.version, m.epochId, m.commitTimeMillis, m.schemaId,
+        bucketCountOf(Some(m)), m.files.size,
+        m.files.map(f => math.max(0L, f.bytes)).sum,
+        m.stats.rowsApplied, m.completeUntilSeq)
+    }
+
+  /** Largest retained version committed at or before `timestampMillis`
+    * (commit times are manifest-stamped and monotone; legacy unstamped
+    * snapshots count as infinitely old). None when every retained snapshot
+    * is newer. */
+  def versionAsOf(timestampMillis: Long): Option[Long] =
+    listVersions().filter(v =>
+      readManifest(v).commitTimeMillis <= timestampMillis)
+      .maxOption
+
+  /** Time travel by WALL CLOCK: the user view as of the newest snapshot
+    * committed at or before `timestampMillis` (Iceberg's as-of-timestamp
+    * read, driven by the manifest-stamped commit times). */
+  def readAsOfTime(spark: SparkSession, timestampMillis: Long): DataFrame =
+    versionAsOf(timestampMillis) match {
+      case Some(v) => readAt(spark, v)
+      case None => throw new IllegalArgumentException(
+        s"no snapshot committed at or before $timestampMillis " +
+          s"(earliest retained: ${history().headOption})")
+    }
+
   /** Driver-side replica of Spark's `xxhash64(repo, path)` fold (seed 42,
     * each column hashed over its UTF-8 bytes with the running hash as
     * seed) — lets the lookup path compute a key's bucket without a Spark

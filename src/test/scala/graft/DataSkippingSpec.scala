@@ -173,6 +173,18 @@ class DataSkippingSpec extends SparkSpec {
     Thread.sleep(20)
     commitGen(2, Seq("a", "b", "c"), 3L)
 
+    // history + time travel by WALL CLOCK off the stamped commit times
+    val hist = t.history()
+    assert(hist.map(_.version) == Seq(0L, 1L, 2L))
+    assert(hist.map(_.commitTimeMillis) == hist.map(_.commitTimeMillis).sorted
+      && hist.forall(_.commitTimeMillis > 0))
+    assert(t.versionAsOf(cut).contains(1L))
+    assert(t.readAsOfTime(spark, cut).select("path").collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
+    intercept[IllegalArgumentException] {
+      t.readAsOfTime(spark, hist.head.commitTimeMillis - 1)
+    }
+
     // age alone is not enough when keepLast retains the version
     assert(t.expireSnapshots(keepLast = 3, olderThanMillis = cut) == ((0, 0)))
     // combined: v0 and v1 are both old AND beyond keepLast=1
