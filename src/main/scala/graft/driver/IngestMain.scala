@@ -98,13 +98,14 @@ object IngestMain {
       case "history" =>
         // snapshot history (time-travel / retention planning surface)
         val t = IceTable.create(args(1))
-        t.history().foreach(s => println(
+        val hist = t.history() // one manifest pass for rows AND count
+        hist.foreach(s => println(
           f"version=${s.version}%d epoch=${s.epochId}%d " +
             f"commit_ms=${s.commitTimeMillis}%d buckets=${s.numBuckets}%d " +
             f"files=${s.files}%d bytes=${s.bytes}%d " +
             f"rows_applied=${s.rowsApplied}%d " +
             f"complete_until=${s.completeUntilSeq}%d"))
-        println(s"mode=history versions=${t.history().size}")
+        println(s"mode=history versions=${hist.size}")
       case "replay-budgeted" =>
         // rate-controlled admission: a small probe epoch measures ingest
         // rate, then each epoch is sized so its expected duration fits the

@@ -103,7 +103,8 @@ object Compaction {
       parent.schemaId, alignedByBucket = true,
       nBuckets = table.bucketCountOf(Some(parent)))
 
-    val metrics = obs.get
+    val metrics = org.apache.spark.sql.GraftSqlBridge
+      .awaitObservation(spark, obs, "compaction-verifier")
     val purged = metrics("purged").asInstanceOf[Long]
     val keptRows = metrics("keptRows").asInstanceOf[Long]
     val liveBefore = metrics("liveBefore").asInstanceOf[Long]

@@ -57,7 +57,9 @@ object Rebucket {
     val newFiles = table.writeEpochFiles(remapped, epochId, parent.schemaId,
       nBuckets = newNumBuckets)
 
-    val rowsIn = obs.get.apply("n").asInstanceOf[Long]
+    val rowsIn = org.apache.spark.sql.GraftSqlBridge
+      .awaitObservation(spark, obs, "rebucket-verifier")
+      .apply("n").asInstanceOf[Long]
     require(newFiles.forall(_.rows >= 0),
       s"rebucket verifier failed: footer counts unavailable for " +
         s"${newFiles.filter(_.rows < 0).map(_.path).mkString(", ")}; " +

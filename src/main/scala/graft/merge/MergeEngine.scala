@@ -135,12 +135,13 @@ object MergeEngine {
     // FULLY-FENCED replay epoch the winner aggregate is empty by design,
     // and without this the epoch's observations would never fire (see
     // graft.table.AqeSafety).
+    // the excludedRules value is derived PER SESSION below (merging with
+    // that session's own exclusions, not the outer session's)
+    val AqeKey = "spark.sql.adaptive.optimizer.excludedRules"
     val scopedConfs = Seq(
       "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
-      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
-      "spark.sql.adaptive.optimizer.excludedRules" ->
-        graft.table.AqeSafety.mergedExcludedRules(spark))
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")
     // Inside foreachBatch the batch Dataset is bound to the STREAM'S CLONED
     // session (own SQLConf); a conf set only on the outer session would not
     // reach the batch plans' adaptive re-optimization. Scope the confs on
@@ -149,9 +150,11 @@ object MergeEngine {
       if (rawEvents.sparkSession eq spark) Seq(spark)
       else Seq(spark, rawEvents.sparkSession)
     val prevConfs = confSessions.flatMap(s =>
-      scopedConfs.map { case (k, _) => (s, k, s.conf.getOption(k)) })
-    confSessions.foreach(s =>
-      scopedConfs.foreach { case (k, v) => s.conf.set(k, v) })
+      (scopedConfs.map(_._1) :+ AqeKey).map(k => (s, k, s.conf.getOption(k))))
+    confSessions.foreach { s =>
+      scopedConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      s.conf.set(AqeKey, graft.table.AqeSafety.mergedExcludedRules(s))
+    }
     try {
 
     val parent = table.currentManifest()
@@ -216,7 +219,9 @@ object MergeEngine {
       bad.observe(qObs, count(lit(1)).as("n"))
         .drop("logPart")
         .write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
-      qObs.get("n").asInstanceOf[Long]
+      org.apache.spark.sql.GraftSqlBridge
+        .awaitObservation(spark, qObs, "quarantine-count")
+        .apply("n").asInstanceOf[Long]
     }
 
     // --- 2. offset-interval fence (exact-replay dedup) -------------------
@@ -282,29 +287,11 @@ object MergeEngine {
 
     val quarantined: Long = quarantinedEarly.getOrElse {
       // the winners job above was the first action over the observed input.
-      // NEVER default a missed observation to 0 — that would silently
-      // vanish policy-dropped rows from accounting while
-      // RowCountReconciliation (fed from the same value) stayed
-      // self-consistently blind. And never block UNBOUNDED on
-      // Observation.get either: an overloaded listener bus can DROP the
-      // completion event, in which case get would hang the ingest driver
-      // forever. Bounded retries of drain+read; then fail the epoch loudly
-      // (nothing committed — the stream/operator retries it).
-      var result: Option[Any] = None
-      var attempts = 0
-      while (result.isEmpty && attempts < 3) {
-        org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 10000L)
-        result = org.apache.spark.sql.GraftSqlBridge.observationResult(inObs)
-          .flatMap(_.get("bad"))
-        attempts += 1
-      }
-      result match {
-        case Some(v) => if (v == null) 0L else v.asInstanceOf[Long]
-        case None => throw new IllegalStateException(
-          "policy-discard observation never arrived after 3 listener-bus " +
-            "drains (~30s) — failing the epoch instead of under-reporting " +
-            "extraction (nothing was committed; retry the epoch)")
-      }
+      // Bounded read (never a silent 0, never an unbounded block — see
+      // GraftSqlBridge.awaitObservation); sum over zero bad rows is null.
+      val v = org.apache.spark.sql.GraftSqlBridge
+        .awaitObservation(spark, inObs, "policy-discard").get("bad").orNull
+      if (v == null) 0L else v.asInstanceOf[Long]
     }
 
     // This epoch's claimed offset intervals, applied to EVERY partition —
@@ -621,7 +608,8 @@ object MergeEngine {
       table.writeEpochFiles(merged, epochId, schemaIdNow, saltPerBucket,
         alignedByBucket = true, nBuckets = nBuckets))
 
-    val metrics = obs.get
+    val metrics = org.apache.spark.sql.GraftSqlBridge
+      .awaitObservation(spark, obs, "merge-write")
     val applied = metrics("up").asInstanceOf[Long]
     val deletes = metrics("del").asInstanceOf[Long]
     val stale = metrics("stale").asInstanceOf[Long]

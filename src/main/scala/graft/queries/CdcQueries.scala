@@ -53,19 +53,25 @@ object CdcQueries {
     }
 
   /** once per process: delete graft-engine-q-<pid>-* dirs whose owning
-    * process is dead (crashed runs that never ran their shutdown hook) */
+    * process is dead (crashed runs that never ran their shutdown hook).
+    * Best-effort by construction — a sweep failure (unparseable foreign
+    * dir name, ProcessHandle error) must never fail the query. */
   private lazy val sweepStaleDirs: Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val Stale = """graft-engine-q-(\d+)-.*""".r
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-      f.getName match {
-        case Stale(pid) if f.isDirectory &&
-            pid.toLong != ProcessHandle.current().pid() &&
-            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
-              .orElse(false) =>
-          org.apache.commons.io.FileUtils.deleteQuietly(f): Unit
-        case _ => ()
-      }
+      scala.util.Try {
+        f.getName match {
+          case Stale(pidStr) if f.isDirectory =>
+            pidStr.toLongOption.foreach { pid =>
+              if (pid != ProcessHandle.current().pid() &&
+                  !ProcessHandle.of(pid).map[Boolean](_.isAlive)
+                    .orElse(false))
+                org.apache.commons.io.FileUtils.deleteQuietly(f): Unit
+            }
+          case _ => ()
+        }
+      }: Unit
     }
   }
 

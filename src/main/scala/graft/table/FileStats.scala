@@ -130,9 +130,10 @@ object FileStats {
   }
 
   /** Fill `rows` + stats bounds into each entry via one pooled footer pass.
-    * Bounded: at most 16 concurrent metadata reads, each with a hard
-    * `timeoutSec`, and the pool is `shutdownNow`n on exit — a hung
-    * object-store read can never stall the job indefinitely.
+    * Bounded: at most 16 concurrent metadata reads under ONE shared
+    * `timeoutSec` deadline for the whole batch, and the pool is
+    * `shutdownNow`n on exit — a hung object-store read (or a full outage
+    * hanging every read) can never stall the job past the deadline.
     *
     * Failure policy follows the stats' role. By default (`failFast=false`,
     * the ingest write path) a per-file timeout/error DEGRADES that entry to
@@ -155,9 +156,16 @@ object FileStats {
         new java.util.concurrent.Callable[Stats] {
           def call(): Stats = read(conf, f.path)
         }))
+      // ONE shared deadline across the whole batch — per-future timeouts
+      // would stack (a store outage over N hung files would stall
+      // N × timeoutSec before the degrade completed)
+      val deadline = System.nanoTime() + timeoutSec * 1000000000L
       futs.map { case (f, fut) =>
+        val remainingMs =
+          math.max(1L, (deadline - System.nanoTime()) / 1000000L)
         val s: Option[Stats] =
-          try Some(fut.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS))
+          try Some(fut.get(remainingMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS))
           catch {
             case e: java.util.concurrent.TimeoutException =>
               if (failFast) throw new IllegalStateException(

@@ -54,6 +54,27 @@ object GraftSqlBridge {
       true
     } catch { case _: java.util.concurrent.TimeoutException => false }
 
+  /** BOUNDED Observation read: the metrics after the observed plan's action
+    * ran. NEVER blocks unbounded (an overloaded listener bus can DROP the
+    * completion event, in which case `Observation.get` hangs forever) and
+    * NEVER silently defaults (a missing counter must fail the caller's
+    * commit, not under-report it): up to 3 bus drains, then a loud error.
+    * Every engine counter read goes through here. */
+  def awaitObservation(spark: SparkSession, o: Observation,
+                       what: String): Map[String, Any] = {
+    var result: Option[Map[String, Any]] = None
+    var attempts = 0
+    while (result.isEmpty && attempts < 3) {
+      drainListenerBus(spark, 10000L)
+      result = observationResult(o)
+      attempts += 1
+    }
+    result.getOrElse(throw new IllegalStateException(
+      s"$what observation never arrived after 3 listener-bus drains " +
+        "(~30s) — failing loudly instead of blocking forever or " +
+        "defaulting counters (nothing was committed; retry)"))
+  }
+
 
   // ---- DSv2 storage-partitioned-scan support ------------------------------
 
