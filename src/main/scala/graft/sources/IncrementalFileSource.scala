@@ -124,6 +124,48 @@ final class IncrementalFileSource(stateDir: String, maxSegments: Int = 64) {
     Plan(binPack(diffAgainstLedger(now), nBins))
   }
 
+  /** LAZY planning — the `WorkUnitStreamSource` analog (SURVEY.md §2.1 #2:
+    * work-unit STREAMS, so a source with a huge file population can start
+    * ingesting before, and without ever, materializing the complete
+    * work-unit list). Returns an iterator of Plans, each holding at most
+    * `maxFilesPerPlan` NEW files: the directory listing is consumed
+    * incrementally (Hadoop's RemoteIterator is itself lazy/paged on real
+    * stores), the ledger diff runs per CHUNK of the listing, and the
+    * driver never holds more than one chunk — neither the full snapshot
+    * nor the full new-file list ever exists in driver memory. Each emitted
+    * plan is bin-packed like `plan`'s output; callers `markProcessed` each
+    * plan after ingesting it, exactly as with eager planning (crash
+    * between plans = re-plan from the ledger, idempotent via the fence). */
+  def planLazy(dir: String, nBins: Int, maxFilesPerPlan: Int,
+               pattern: String => Boolean = _.endsWith(".parquet"))
+      : Iterator[Plan] = {
+    require(maxFilesPerPlan > 0)
+    val root = new HPath(dir)
+    val f = root.getFileSystem(hconf)
+    val qroot = f.makeQualified(root)
+    def visibleUnderRoot(p: HPath): Boolean = {
+      var cur = p
+      while (cur != null && cur != qroot) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      cur != null
+    }
+    val it = f.listFiles(root, true)
+    val listed = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(s => s.isFile && pattern(s.getPath.toString) &&
+        visibleUnderRoot(s.getPath))
+      .map(s => FileEntry(s.getPath.toString, s.getLen))
+    // diff chunk-by-chunk; a chunk larger than the plan cap keeps the
+    // per-chunk anti-join worthwhile while bounding driver memory
+    listed.grouped(math.max(maxFilesPerPlan * 4, 1024))
+      .flatMap(chunk => diffAgainstLedger(chunk.toSeq))
+      .grouped(maxFilesPerPlan)
+      .map(fs => Plan(binPack(fs.toSeq, nBins)))
+  }
+
   /** snapshot minus ledger. With an active SparkSession the diff is a
     * distributed LEFT ANTI join (listing rows against a text read of the
     * ledger segments) — the processed set never lands on the driver and

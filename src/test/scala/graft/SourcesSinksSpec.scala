@@ -76,6 +76,38 @@ class SourcesSinksSpec extends SparkSpec {
       "compaction must lose nothing")
   }
 
+  test("lazy planning streams bounded plans without the full file list") {
+    // WorkUnitStreamSource analog (SURVEY §2.1 #2): planLazy emits plans of
+    // at most maxFilesPerPlan NEW files, consuming the listing and the
+    // ledger diff incrementally — ingestion can start (and the ledger can
+    // advance) before the snapshot is fully enumerated.
+    val dataDir = tmpDir("lazy-data")
+    (0 until 37).foreach { i =>
+      Files.write(Paths.get(s"$dataDir/f$i%02d.parquet".format(i)),
+        Array.fill(i + 1)('x'.toByte))
+    }
+    val src = new IncrementalFileSource(tmpDir("lazy-state"))
+    // mark a third processed up front: only the remainder may be planned
+    val all = new java.io.File(dataDir).listFiles().map(f =>
+      IncrementalFileSource.FileEntry(s"file:$dataDir/${f.getName}",
+        f.length())).sortBy(_.path)
+    src.markProcessed(all.take(12))
+
+    val plans = src.planLazy(dataDir, nBins = 3, maxFilesPerPlan = 10).toSeq
+    assert(plans.forall(_.files.size <= 10),
+      "every emitted plan must respect the cap")
+    val planned = plans.flatMap(_.files.map(_.path))
+    assert(planned.distinct.size == planned.size, "no file planned twice")
+    assert(planned.toSet == all.drop(12).map(_.path).toSet,
+      "lazy plans must cover exactly the unprocessed remainder")
+    assert(plans.size == 3, s"25 new files at cap 10 -> 3 plans, got ${plans.size}")
+
+    // consuming plan-by-plan with ledger updates: nothing replans
+    plans.foreach(p => src.markProcessed(p.files))
+    assert(src.planLazy(dataDir, 3, 10).isEmpty,
+      "after marking all plans processed, the stream must be empty")
+  }
+
   test("legacy single-file ledger is honored and folded in on compaction") {
     val state = tmpDir("legacy-state")
     Files.createDirectories(Paths.get(state))
