@@ -266,16 +266,33 @@ object MergeEngine {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try { // unpersist `winners` on every exit (skip, abort, commit)
 
+    // spark.graft.fileSkipping=false disables file-level pruning (A/B +
+    // escape hatch); correctness never depends on it — a skipped file is
+    // identical to its rewritten copy. Resolved once, up front, so the
+    // disabled path pays NONE of the skipping machinery's cost.
+    val skipEnabled = spark.conf
+      .getOption("spark.graft.fileSkipping").forall(_.toBoolean)
+    // key bounds are only worth aggregating when there is something they
+    // could skip: parent files carrying key stats. Guarding here keeps the
+    // per-row concat + min/max string work (and the per-bucket string
+    // collect) out of the hot dedup aggregate for stats-less tables and
+    // for skip-disabled runs.
+    val wantKeyBounds = skipEnabled &&
+      parent.exists(_.files.exists(f => f.minKey.isDefined))
+
     // one small collect (per-BUCKET rows): counters, bucket pruning,
     // broadcast sizing, salting weights, file-skip key bounds, all at once.
     // The key bounds use the SAME NUL-composed key encoding as the per-file
     // footer stats (graft.table.FileStats) so driver-side comparisons are
     // byte-order consistent with the recorded min/max.
     val keyExpr = concat($"repo", lit(graft.table.FileStats.KeySep), $"path")
+    val baseAggs = Seq(count(lit(1)).as("nKeys"), sum($"nEvents").as("nEv"),
+      sum(octet_length($"repo") + octet_length($"path")).as("keyBytes"))
+    val aggs = if (wantKeyBounds)
+      baseAggs ++ Seq(min(keyExpr).as("minKey"), max(keyExpr).as("maxKey"))
+    else baseAggs
     val perGroup = timed("dedup+stats")(winners.groupBy($"bucket")
-      .agg(count(lit(1)).as("nKeys"), sum($"nEvents").as("nEv"),
-        sum(octet_length($"repo") + octet_length($"path")).as("keyBytes"),
-        min(keyExpr).as("minKey"), max(keyExpr).as("maxKey"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect())
     val freshCount = perGroup.map(_.getAs[Long]("nEv")).sum
     val upsertCountEarly = perGroup.map(_.getAs[Long]("nKeys")).sum
@@ -430,16 +447,13 @@ object MergeEngine {
     //    previously-salted hot bucket rewrites one salt slice, not all.
     // Files without stats are never skipped. Matches at 100 TB: the merge
     // reads what the epoch can change, not what the bucket holds.
-    // spark.graft.fileSkipping=false disables the pruning (A/B + escape
-    // hatch); correctness never depends on it — a skipped file is identical
-    // to its rewritten copy. Gated HERE so the disabled path also skips the
-    // residue aggregates below (the A/B must not pay part of the cost it
-    // measures).
-    val skipEnabled = spark.conf
-      .getOption("spark.graft.fileSkipping").forall(_.toBoolean)
-    val winnerKeyRange: Map[Int, (String, String)] = perGroup.map(r =>
-      r.getAs[Int]("bucket") ->
-        (r.getAs[String]("minKey"), r.getAs[String]("maxKey"))).toMap
+    // (`skipEnabled`/`wantKeyBounds` were resolved up front, before the
+    // winners aggregate, so a disabled run pays none of this cost.)
+    val winnerKeyRange: Map[Int, (String, String)] =
+      if (!wantKeyBounds) Map.empty
+      else perGroup.map(r =>
+        r.getAs[Int]("bucket") ->
+          (r.getAs[String]("minKey"), r.getAs[String]("maxKey"))).toMap
     val saltMods =
       if (!skipEnabled) Seq.empty[Int]
       else bucketTouched
