@@ -207,4 +207,27 @@ class TableInvariantsSpec extends SparkSpec {
       nLogPartitions = 2)
     assert(tLb.currentVersion() == v)
   }
+
+  test("AqeSafety merges user AQE exclusions and restores them on exit") {
+    import graft.table.AqeSafety
+    val key = "spark.sql.adaptive.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "x.y.UserRule")
+      AqeSafety.withObservationsSafe(spark) {
+        assert(spark.conf.get(key).split(",").toSet ==
+          Set("x.y.UserRule", AqeSafety.EmptyRelationRule),
+          "user exclusions must be MERGED, not clobbered")
+      }
+      assert(spark.conf.get(key) == "x.y.UserRule", "restore on exit")
+      spark.conf.unset(key)
+      AqeSafety.withObservationsSafe(spark) {
+        assert(spark.conf.get(key) == AqeSafety.EmptyRelationRule)
+      }
+      assert(spark.conf.getOption(key).isEmpty, "unset restores to absent")
+    } finally prev match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
