@@ -111,7 +111,17 @@ final case class EpochManifest(
     // snapshot so `rebucket` can migrate a table that outgrew its bucket
     // width — the partition-spec-evolution analog
     // (IcebergMetadataWriter.java:507-524, updateSpec().addField).
-    numBuckets: Int = -1)
+    numBuckets: Int = -1,
+    // TWO-LEVEL METADATA (Iceberg's snapshot -> manifest-list -> manifest
+    // files): when the file list is large, the snapshot json stores it as
+    // references to immutable CONTENT-ADDRESSED segment files (one per
+    // bucket-range chunk) instead of inline `files`. A commit then writes
+    // only the segments whose chunk CHANGED — identical chunks hash to the
+    // same path and are skipped — so per-commit metadata IO is O(touched
+    // buckets), not O(all files): the property that keeps a million-file
+    // table's commit cost flat. IceTable.readManifest resolves segments
+    // back into `files`, so the rest of the engine never sees the split.
+    fileSegs: Seq[String] = Nil)
 
 /** Lineage row persisted per (epoch, log-partition) — the "lineage rows in a
   * state table" of the north star; analog of Gobblin's per-WorkUnit committed

@@ -49,6 +49,8 @@ import org.apache.spark.sql.functions._
  *   <dir>/data/bucket=<b>/e<epochId>-part-*.parquet
  *   <dir>/staging/e<epochId>-<nonce>/bucket=<b>/part-*.parquet  (transient)
  *   <dir>/meta/snap-<version>.json
+ *   <dir>/meta/fseg-<contenthash>.json   (file-list segments; only for
+ *                                         manifests past inlineFileThreshold)
  * }}}
  *
  * The single-level `data/bucket=<b>/` partition layout keeps Spark's
@@ -56,7 +58,15 @@ import org.apache.spark.sql.functions._
  * (files from different epochs share one directory structure), and gives
  * partition pruning on `bucket` for free.
  */
-final class IceTable(val dir: String, val defaultNumBuckets: Int) {
+final class IceTable(val dir: String, val defaultNumBuckets: Int,
+                     // file lists LARGER than this split out of the snapshot
+                     // json into content-addressed segment files (two-level
+                     // metadata; see EpochManifest.fileSegs)
+                     val inlineFileThreshold: Int = 1024,
+                     // buckets per file-list segment chunk: bounds a chunk's
+                     // rewrite scope — a commit rewrites only segments whose
+                     // bucket range it touched
+                     val segChunkBuckets: Int = 128) {
   private val root = new HPath(dir)
 
   /** Bucket count of the CURRENT snapshot's data layout: recorded per
@@ -115,15 +125,51 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
   private def snapPath(version: Long): HPath =
     new HPath(metaDir, f"snap-$version%08d.json")
 
-  def readManifest(version: Long): EpochManifest = {
-    val in = fs.open(snapPath(version))
+  private def readUtf8(p: HPath): String = {
+    val in = fs.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      ManifestJson.parse(new String(bytes.toByteArray, "UTF-8"))
+      new String(bytes.toByteArray, "UTF-8")
     } finally in.close()
+  }
+
+  /** Read a snapshot manifest, RESOLVING two-level metadata: a segmented
+    * manifest's file list is re-assembled from its content-addressed
+    * segment files (chunked by bucket range, each internally sorted, so
+    * the resolved list is globally (bucket, path)-sorted). The in-memory
+    * manifest keeps `fileSegs` populated — retention refcounts them. */
+  def readManifest(version: Long): EpochManifest = {
+    val m = ManifestJson.parse(readUtf8(snapPath(version)))
+    if (m.fileSegs.isEmpty) m
+    else m.copy(files =
+      m.fileSegs.flatMap(p => ManifestJson.parseFiles(readUtf8(new HPath(p)))))
+  }
+
+  /** Publish one content-addressed file-list segment (write-if-absent:
+    * identical content hashes to the identical path, so a chunk no commit
+    * changed costs ZERO metadata writes — the O(touched) commit property).
+    * Entries must arrive sorted (canonical bytes). */
+  private def writeFileSeg(f: FileSystem, entries: Seq[DataFileEntry]): String = {
+    val body = ManifestJson.writeFiles(entries).getBytes("UTF-8")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body).take(12).map(b => f"$b%02x").mkString
+    val dest = new HPath(metaDir, s"fseg-$sha.json")
+    if (!f.exists(dest)) {
+      val tmp = new HPath(metaDir, s".fseg-$sha-${System.nanoTime()}.tmp")
+      val out = f.create(tmp, false)
+      try out.write(body) finally out.close()
+      // a concurrent writer landing the same content first is a win, not a
+      // conflict — same bytes, same path
+      if (!renameNoReplace(f, tmp, dest)) {
+        f.delete(tmp, false)
+        if (!f.exists(dest))
+          throw new IllegalStateException(s"segment publish failed: $dest")
+      }
+    }
+    dest.toString
   }
 
   /** Atomically commit `m` as the new current snapshot. The rename-without-
@@ -157,16 +203,38 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
     // manifest built by copy() from its parent cannot inherit the parent's
     // time (time-based retention reads this, never fs mtimes)
     val stamped = m.copy(commitTimeMillis = System.currentTimeMillis())
+    // TWO-LEVEL METADATA: a large file list is stored as content-addressed
+    // bucket-range segments; only segments whose chunk CHANGED since the
+    // parent get written (identical content ⇒ identical path ⇒ skipped),
+    // so commit metadata IO is O(touched buckets) at any table size.
+    // Incoming fileSegs are always ignored and re-derived from `files` —
+    // a parent.copy(...) can never smuggle stale references in.
+    val stored =
+      if (stamped.files.size <= inlineFileThreshold)
+        stamped.copy(fileSegs = Nil)
+      else {
+        val segs = stamped.files
+          .sortBy(e => (e.bucket, e.path))
+          .groupBy(_.bucket / segChunkBuckets).toSeq.sortBy(_._1)
+          .map { case (_, chunk) =>
+            writeFileSeg(f, chunk.sortBy(e => (e.bucket, e.path)))
+          }
+        stamped.copy(files = Nil, fileSegs = segs)
+      }
     val tmp = new HPath(metaDir,
       f".snap-${m.version}%08d-${System.nanoTime()}%d.json.tmp")
     val out = f.create(tmp, false)
-    try out.write(ManifestJson.write(stamped).getBytes("UTF-8")) finally out.close()
+    try out.write(ManifestJson.write(stored).getBytes("UTF-8")) finally out.close()
     if (!renameNoReplace(f, tmp, snapPath(m.version))) {
       f.delete(tmp, false)
       throw new IllegalArgumentException(
         s"concurrent writer detected: snapshot ${m.version} already committed")
     }
-    stamped
+    // return the RESOLVED shape (files populated + segment refs), matching
+    // what readManifest of this version yields
+    stored.copy(files =
+      if (stored.fileSegs.isEmpty) stamped.files
+      else stamped.files.sortBy(e => (e.bucket, e.path)))
   }
 
   /** publish `src` at `dst` failing (false) when the destination exists —
@@ -376,12 +444,20 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
       v < cutoff && manifests(v).commitTimeMillis < olderThanMillis)
     if (expired.isEmpty) return (0, 0)
     val expiredSet = expired.toSet
-    val retainedFiles: Set[String] = versions.filterNot(expiredSet)
+    val retained = versions.filterNot(expiredSet)
+    val retainedFiles: Set[String] = retained
       .flatMap(v => manifests(v).files.map(_.path)).toSet
     val expiredFiles: Set[String] = expired
       .flatMap(v => manifests(v).files.map(_.path)).toSet
     val removable = expiredFiles -- retainedFiles
     removable.foreach(p => f.delete(new HPath(p), false))
+    // file-list SEGMENTS are refcounted exactly like data files: content-
+    // addressed segments are commonly SHARED across snapshots (that is the
+    // point), so only segments referenced by NO retained snapshot go
+    val retainedSegs: Set[String] = retained
+      .flatMap(v => manifests(v).fileSegs).toSet
+    (expired.flatMap(v => manifests(v).fileSegs).toSet -- retainedSegs)
+      .foreach(p => f.delete(new HPath(p), false))
     expired.foreach(v => f.delete(snapPath(v), false))
     (expired.size, removable.size)
   }
@@ -587,6 +663,8 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int) {
 }
 
 object IceTable {
-  def create(dir: String, numBuckets: Int = 32): IceTable =
-    new IceTable(dir, numBuckets).init()
+  def create(dir: String, numBuckets: Int = 32,
+             inlineFileThreshold: Int = 1024,
+             segChunkBuckets: Int = 128): IceTable =
+    new IceTable(dir, numBuckets, inlineFileThreshold, segChunkBuckets).init()
 }

@@ -11,4 +11,12 @@ object ManifestJson {
   def write(m: EpochManifest): String = Serialization.writePretty(m)
 
   def parse(s: String): EpochManifest = Serialization.read[EpochManifest](s)
+
+  /** file-list SEGMENT bodies (two-level metadata). Canonical: callers pass
+    * entries pre-sorted, so identical chunks serialize byte-identically —
+    * the content-addressing contract. */
+  def writeFiles(fs: Seq[DataFileEntry]): String = Serialization.writePretty(fs)
+
+  def parseFiles(s: String): Seq[DataFileEntry] =
+    Serialization.read[Seq[DataFileEntry]](s)
 }
