@@ -121,7 +121,15 @@ final case class EpochManifest(
     // buckets), not O(all files): the property that keeps a million-file
     // table's commit cost flat. IceTable.readManifest resolves segments
     // back into `files`, so the rest of the engine never sees the split.
-    fileSegs: Seq[String] = Nil)
+    fileSegs: Seq[String] = Nil,
+    // Header-level file-list summary, stamped by IceTable.commit at publish:
+    // lets history()/versionAsOf() answer metadata questions WITHOUT
+    // resolving segment files (on a long-history segmented table resolving
+    // every version is O(versions × files) driver IO for answers the
+    // snapshot json already carries). -1 on legacy manifests — readers
+    // derive from `files` instead.
+    fileCount: Int = -1,
+    dataBytes: Long = -1L)
 
 /** Lineage row persisted per (epoch, log-partition) — the "lineage rows in a
   * state table" of the north star; analog of Gobblin's per-WorkUnit committed

@@ -217,29 +217,20 @@ object VectorQueries {
       val tabbed = e.select(col("vec_id"), col("q"), col("nrm"),
         posexplode(col("buckets")))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
-      // per-(query, table): margin of each sign bit = |integer projection|
-      // onto its plane (plane index qtbl*B + j — Column arithmetic mirrors
-      // lshBucket's fixed integer planes exactly)
-      def projCol(qc: Column, p: Column): Column =
-        aggregate(zip_with(qc, sequence(lit(0), size(qc) - 1),
-          (x, i) => x * (((p * 73 + i * 37) % 19) - 9)),
-          lit(0L), (acc, v) => acc + v)
-      val qbase = e.filter(col("vec_id") < 5)
+      // probe targets come out of the NATIVE expression (one pass over the
+      // query vector yields every table's bucket AND its lowest-margin flip
+      // together — the r4 Column-algebra margins re-folded the vector per
+      // (table, bit), L×B extra element loops re-deriving projections the
+      // bucketing pass had already computed). Flattened [bkt,alt]* pairs:
+      // pos/2 = table, pos%2 = which probe — a plain posexplode, still an
+      // equijoin on (tbl, bucket).
+      val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("q").as("qq"),
-          col("nrm").as("qn"), posexplode(col("buckets")))
-        .withColumnsRenamed(Map("pos" -> "qtbl", "col" -> "qbkt"))
-      val margins = array((0 until lshBitsPerTable).map { j =>
-        struct(abs(projCol(col("qq"),
-            col("qtbl") * lshBitsPerTable + lit(j))).as("m"),
-          lit(j).as("j"))
-      }: _*)
-      // argmin margin, ties to the smallest j (array_min on (m, j) structs)
-      val jmin = array_min(margins).getField("j")
-      val flip = element_at(
-        array((0 until lshBitsPerTable).map(j => lit(1 << j)): _*), jmin + 1)
-      val probes = qbase
-        .withColumn("pbkt",
-          explode(array(col("qbkt"), col("qbkt").bitwiseXOR(flip))))
+          col("nrm").as("qn"),
+          posexplode(graft.functions.LshBuckets.lshBucketProbes(
+            col("q"), lshTables, lshBitsPerTable)))
+        .select(col("query_id"), col("qq"), col("qn"),
+          (col("pos") / 2).cast("int").as("qtbl"), col("col").as("pbkt"))
       val cands = tabbed.join(probes,
           col("tbl") === col("qtbl") && col("bkt") === col("pbkt") &&
             col("vec_id") =!= col("query_id"))

@@ -185,4 +185,66 @@ object FileStats {
       }
     } finally { pool.shutdownNow(); () }
   }
+
+  /** Distributed variant of [[fillAll]]: the footer pass runs as ONE small
+    * Spark job over the entry list instead of the ≤16-thread driver pool —
+    * an epoch publishing thousands of object-store files would otherwise
+    * serialize N/16 round-trips of footer latency on the COMMIT CRITICAL
+    * PATH through the driver; as a job, the pass scales with the cluster
+    * (the same shape compaction's verifier recount uses). Semantics match
+    * [[fillAll]] exactly: ONE shared wall-clock deadline for the whole
+    * batch (executor clocks — skew is immaterial for a degrade
+    * optimization), a per-file failure/timeout DEGRADES that entry to
+    * stats-less under the default policy or throws under `failFast`, and
+    * input order is preserved. Each task reads through a cached-thread
+    * executor so one hung read cannot block the partition's remaining
+    * files past the deadline. */
+  def fillAllDistributed(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[DataFileEntry], timeoutSec: Long = 120L,
+      failFast: Boolean = false): Seq[DataFileEntry] = {
+    if (files.isEmpty) return files
+    import scala.jdk.CollectionConverters._
+    val confKV: Seq[(String, String)] = spark.sessionState.newHadoopConf()
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+    val bc = spark.sparkContext.broadcast(confKV)
+    val deadlineMs = System.currentTimeMillis() + timeoutSec * 1000L
+    val ff = failFast
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 2))
+    try {
+      spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
+        val conf = new Configuration(false)
+        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        val exec = java.util.concurrent.Executors.newCachedThreadPool()
+        val out = it.map { f =>
+          val remain = deadlineMs - System.currentTimeMillis()
+          val fut = exec.submit(new java.util.concurrent.Callable[Stats] {
+            def call(): Stats = read(conf, f.path)
+          })
+          try {
+            val st = fut.get(math.max(1L, remain),
+              java.util.concurrent.TimeUnit.MILLISECONDS)
+            f.copy(rows = st.rows, minKey = st.minKey, maxKey = st.maxKey,
+              minSeq = st.minSeq, maxSeq = st.maxSeq)
+          } catch {
+            case e: java.util.concurrent.TimeoutException =>
+              fut.cancel(true)
+              if (ff) throw new IllegalStateException(
+                s"footer read timed out after ${timeoutSec}s: ${f.path}", e)
+              System.err.println(s"[graft] footer read timed out " +
+                s"(${timeoutSec}s): ${f.path}; entry left stats-less")
+              f
+            case e: java.util.concurrent.ExecutionException =>
+              if (ff) throw new IllegalStateException(
+                s"footer read failed: ${f.path}", e.getCause)
+              System.err.println(s"[graft] footer read failed: ${f.path} " +
+                s"(${e.getCause}); entry left stats-less")
+              f
+          }
+        }.toVector // materialize before shutting the executor down
+        exec.shutdownNow()
+        out.iterator
+      }.collect().toSeq // collect preserves slice order = input order
+    } finally bc.destroy()
+  }
 }

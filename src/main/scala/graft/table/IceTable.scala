@@ -74,8 +74,32 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     * the partition-spec-evolution analog, IcebergMetadataWriter.java:
     * 507-524); legacy/empty tables fall back to the construction default.
     * Epoch-scoped callers (MergeEngine) resolve this ONCE from the parent
-    * manifest they already hold instead of re-listing here. */
-  def numBuckets: Int = bucketCountOf(currentManifest())
+    * manifest they already hold instead of re-listing here.
+    *
+    * CACHED per handle: the first resolution (one header read, zero segment
+    * IO) is remembered and refreshed by every commit() / currentManifest()
+    * through this handle — without the cache the bucketCol/bucketOf DEFAULTS
+    * turned a cheap expression builder into a metadata listing + manifest
+    * read per call (repeated remote LISTs on object stores). A REBUCKET by a
+    * DIFFERENT process is picked up at the next currentManifest()/commit;
+    * same-process callers always observe their own commits (the epoch path
+    * re-reads the parent manifest every epoch regardless). */
+  def numBuckets: Int = {
+    val c = cachedBucketCount
+    if (c > 0) c
+    else {
+      val v = currentVersion()
+      val n =
+        if (v < 0) defaultNumBuckets
+        else bucketCountOf(Some(readManifestHeader(v)))
+      cachedBucketCount = n
+      n
+    }
+  }
+  @volatile private var cachedBucketCount: Int = -1
+
+  /** fault-injection seam for specs (see [[commit]]); no-op in production */
+  private[graft] var onBeforeSnapshotCas: () => Unit = () => ()
 
   def bucketCountOf(m: Option[graft.model.EpochManifest]): Int =
     m.map(_.numBuckets).filter(_ > 0).getOrElse(defaultNumBuckets)
@@ -119,7 +143,12 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
 
   def currentManifest(): Option[EpochManifest] = {
     val v = currentVersion()
-    if (v < 0) None else Some(readManifest(v))
+    if (v < 0) None
+    else {
+      val m = readManifest(v)
+      cachedBucketCount = bucketCountOf(Some(m))
+      Some(m)
+    }
   }
 
   private def snapPath(version: Long): HPath =
@@ -136,17 +165,29 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     } finally in.close()
   }
 
+  /** Parse a snapshot's json WITHOUT resolving file-list segments: header
+    * fields only (commit time, offsets, stats, schema/bucket ids, segment
+    * refs, file count/bytes). For an inline manifest this IS the full
+    * manifest; for a segmented one `files` is empty — use [[readManifest]]
+    * when the file list itself is needed. Metadata questions (history, time
+    * travel resolution, retention policy evaluation) go through THIS path:
+    * resolving every version's segments would be O(versions × files) driver
+    * IO for answers the snapshot json already carries. */
+  def readManifestHeader(version: Long): EpochManifest =
+    ManifestJson.parse(readUtf8(snapPath(version)))
+
   /** Read a snapshot manifest, RESOLVING two-level metadata: a segmented
     * manifest's file list is re-assembled from its content-addressed
     * segment files (chunked by bucket range, each internally sorted, so
     * the resolved list is globally (bucket, path)-sorted). The in-memory
     * manifest keeps `fileSegs` populated — retention refcounts them. */
-  def readManifest(version: Long): EpochManifest = {
-    val m = ManifestJson.parse(readUtf8(snapPath(version)))
+  def readManifest(version: Long): EpochManifest =
+    resolveFiles(readManifestHeader(version))
+
+  private def resolveFiles(m: EpochManifest): EpochManifest =
     if (m.fileSegs.isEmpty) m
     else m.copy(files =
       m.fileSegs.flatMap(p => ManifestJson.parseFiles(readUtf8(new HPath(p)))))
-  }
 
   /** Publish one content-addressed file-list segment (write-if-absent:
     * identical content hashes to the identical path, so a chunk no commit
@@ -154,8 +195,12 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     * Entries must arrive sorted (canonical bytes). */
   private def writeFileSeg(f: FileSystem, entries: Seq[DataFileEntry]): String = {
     val body = ManifestJson.writeFiles(entries).getBytes("UTF-8")
+    // FULL sha256 in the name: write-if-absent content addressing means a
+    // name collision between different chunks would silently serve another
+    // chunk's file list — at millions of retained segments a truncated hash
+    // has real birthday risk; 64 hex chars of path cost nothing next to that
     val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(body).take(12).map(b => f"$b%02x").mkString
+      .digest(body).map(b => f"$b%02x").mkString
     val dest = new HPath(metaDir, s"fseg-$sha.json")
     if (!f.exists(dest)) {
       val tmp = new HPath(metaDir, s".fseg-$sha-${System.nanoTime()}.tmp")
@@ -201,8 +246,12 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     require(m.version == cur + 1, s"version must be ${cur + 1}, got ${m.version}")
     // stamp the wall-clock commit time at publish — unconditionally, so a
     // manifest built by copy() from its parent cannot inherit the parent's
-    // time (time-based retention reads this, never fs mtimes)
-    val stamped = m.copy(commitTimeMillis = System.currentTimeMillis())
+    // time (time-based retention reads this, never fs mtimes) — plus the
+    // header-level file-list summary (count/bytes) so history() and
+    // retention never need to resolve segments for metadata questions
+    val stamped = m.copy(commitTimeMillis = System.currentTimeMillis(),
+      fileCount = m.files.size,
+      dataBytes = m.files.map(f => math.max(0L, f.bytes)).sum)
     // TWO-LEVEL METADATA: a large file list is stored as content-addressed
     // bucket-range segments; only segments whose chunk CHANGED since the
     // parent get written (identical content ⇒ identical path ⇒ skipped),
@@ -221,6 +270,10 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
           }
         stamped.copy(files = Nil, fileSegs = segs)
       }
+    // test seam: lets specs deterministically interleave a concurrent
+    // winner INSIDE the race window (segments published, snapshot not yet
+    // CAS'd) — the window that strands fseg files for the orphan sweep
+    onBeforeSnapshotCas()
     val tmp = new HPath(metaDir,
       f".snap-${m.version}%08d-${System.nanoTime()}%d.json.tmp")
     val out = f.create(tmp, false)
@@ -230,6 +283,7 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
       throw new IllegalArgumentException(
         s"concurrent writer detected: snapshot ${m.version} already committed")
     }
+    cachedBucketCount = bucketCountOf(Some(stored))
     // return the RESOLVED shape (files populated + segment refs), matching
     // what readManifest of this version yields
     stored.copy(files =
@@ -314,21 +368,38 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
 
   def history(): Seq[SnapshotInfo] =
     listVersions().map { v =>
-      val m = readManifest(v)
+      // header-only: a metadata question must not resolve segment files
+      // (O(versions × files) driver IO on a long-history segmented table)
+      val m = readManifestHeader(v)
       SnapshotInfo(m.version, m.epochId, m.commitTimeMillis, m.schemaId,
-        bucketCountOf(Some(m)), m.files.size,
-        m.files.map(f => math.max(0L, f.bytes)).sum,
+        bucketCountOf(Some(m)),
+        if (m.fileCount >= 0) m.fileCount else m.files.size,
+        if (m.dataBytes >= 0) m.dataBytes
+        else m.files.map(f => math.max(0L, f.bytes)).sum,
         m.stats.rowsApplied, m.completeUntilSeq)
     }
 
   /** Largest retained version committed at or before `timestampMillis`
-    * (commit times are manifest-stamped and monotone; legacy unstamped
-    * snapshots count as infinitely old). None when every retained snapshot
-    * is newer. */
-  def versionAsOf(timestampMillis: Long): Option[Long] =
-    listVersions().filter(v =>
-      readManifest(v).commitTimeMillis <= timestampMillis)
-      .maxOption
+    * (commit times are manifest-stamped and monotone). Header-only reads —
+    * no segment resolution. A LEGACY unstamped snapshot has no recorded
+    * time, and treating it as infinitely old could serve wrong-era data (it
+    * may actually postdate the request); instead it is bounded by the
+    * EARLIEST STAMPED SUCCESSOR's time (it was certainly committed before
+    * that successor) and is eligible only when that bound ≤ the request —
+    * with no stamped successor its commit time is unknowable and it is
+    * never eligible for timestamp travel (version travel via [[readAt]]
+    * still works). None when no retained snapshot qualifies. */
+  def versionAsOf(timestampMillis: Long): Option[Long] = {
+    val stamps = listVersions().map(v =>
+      v -> readManifestHeader(v).commitTimeMillis)
+    val effective = stamps.zipWithIndex.map { case ((v, t), i) =>
+      v -> (if (t >= 0) t
+            else stamps.drop(i + 1)
+              .collectFirst { case (_, st) if st >= 0 => st }
+              .getOrElse(Long.MaxValue))
+    }
+    effective.collect { case (v, t) if t <= timestampMillis => v }.maxOption
+  }
 
   /** Time travel by WALL CLOCK: the user view as of the newest snapshot
     * committed at or before `timestampMillis` (Iceberg's as-of-timestamp
@@ -431,34 +502,78 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     * and files survive). Defaults degrade to the pure count-based policy.
     * Returns (#manifests, #dataFiles) removed. */
   def expireSnapshots(keepLast: Int = 1,
-                      olderThanMillis: Long = Long.MaxValue): (Int, Int) = {
+                      olderThanMillis: Long = Long.MaxValue,
+                      // orphan fseg files younger than this survive the
+                      // sweep: they may belong to an IN-FLIGHT commit that
+                      // published its segments but has not CAS'd its
+                      // snapshot yet (segments publish BEFORE the snapshot
+                      // rename by design)
+                      orphanSegGraceMillis: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1)
     val f = fs
-    val versions = listVersions() // ONE metadata listing, not O(maxVersion)
+    if (!f.exists(metaDir)) return (0, 0)
+    // ONE metadata listing feeds versions AND the orphan sweep (mtimes)
+    val metaLs = f.listStatus(metaDir)
+    val versions = metaLs.iterator.map(_.getPath.getName).collect {
+      case SnapName(v) => v.toLong
+    }.toSeq.sorted
     if (versions.isEmpty) return (0, 0)
-    val cur = versions.max
-    val cutoff = cur - keepLast + 1
-    val manifests: Map[Long, EpochManifest] =
-      versions.map(v => v -> readManifest(v)).toMap
+    val cutoff = versions.max - keepLast + 1
+    // headers only for policy evaluation and SEGMENT refcounting (fileSegs
+    // is a header field) — file lists are resolved further down, and only
+    // when something actually expires
+    val headers: Map[Long, EpochManifest] =
+      versions.map(v => v -> readManifestHeader(v)).toMap
     val expired = versions.filter(v =>
-      v < cutoff && manifests(v).commitTimeMillis < olderThanMillis)
-    if (expired.isEmpty) return (0, 0)
+      v < cutoff && headers(v).commitTimeMillis < olderThanMillis)
     val expiredSet = expired.toSet
     val retained = versions.filterNot(expiredSet)
+    val retainedSegNames: Set[String] = retained
+      .flatMap(v => headers(v).fileSegs).map(p => new HPath(p).getName).toSet
+    // ORPHAN SWEEP (always, even when nothing expires): fseg files
+    // referenced by NO listed snapshot were stranded by a CAS-losing commit
+    // or a crash between segment publish and snapshot rename — without the
+    // sweep they accumulate forever. The grace window keeps the sweep from
+    // racing an in-flight commit's just-published segments. Segments
+    // referenced by headers read in THIS pass are excluded by construction;
+    // a commit landing after the listing is invisible to the (snapshotted)
+    // listing and thus untouched.
+    val referencedSegNames: Set[String] = versions
+      .flatMap(v => headers(v).fileSegs).map(p => new HPath(p).getName).toSet
+    val now = System.currentTimeMillis()
+    metaLs.iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("fseg-"))
+      .filter(s => !referencedSegNames.contains(s.getPath.getName))
+      .filter(s => now - s.getModificationTime >= orphanSegGraceMillis)
+      .foreach(s => f.delete(s.getPath, false))
+    if (expired.isEmpty) return (0, 0)
+    // resolve file lists: STRICT for retained versions (a retained snapshot
+    // with missing segments is real corruption), TOLERANT for expired ones
+    // (a pre-r5 crash between segment delete and json delete left snapshots
+    // whose segments are gone; such a version contributes no deletable data
+    // files but its json must still go, or retention wedges forever)
     val retainedFiles: Set[String] = retained
-      .flatMap(v => manifests(v).files.map(_.path)).toSet
-    val expiredFiles: Set[String] = expired
-      .flatMap(v => manifests(v).files.map(_.path)).toSet
+      .flatMap(v => resolveFiles(headers(v)).files.map(_.path)).toSet
+    val expiredFiles: Set[String] = expired.flatMap { v =>
+      try resolveFiles(headers(v)).files.map(_.path)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }.toSet
     val removable = expiredFiles -- retainedFiles
-    removable.foreach(p => f.delete(new HPath(p), false))
-    // file-list SEGMENTS are refcounted exactly like data files: content-
-    // addressed segments are commonly SHARED across snapshots (that is the
-    // point), so only segments referenced by NO retained snapshot go
-    val retainedSegs: Set[String] = retained
-      .flatMap(v => manifests(v).fileSegs).toSet
-    (expired.flatMap(v => manifests(v).fileSegs).toSet -- retainedSegs)
-      .foreach(p => f.delete(new HPath(p), false))
+    // ORDERING (crash safety): expired snapshot JSONS go FIRST — a crash
+    // later in this method only leaks unreferenced segments/data files (the
+    // orphan sweep collects segments next run; unlisted data files are
+    // invisible to readers), whereas deleting segments first could leave
+    // LISTED snapshots whose segments are gone, wedging every later
+    // full-manifest pass.
     expired.foreach(v => f.delete(snapPath(v), false))
+    // segments are refcounted like data files: content-addressed segments
+    // are commonly SHARED across snapshots (that is the point), so only
+    // segments referenced by NO retained snapshot go. No grace here — an
+    // expired-referenced segment was committed, never in-flight.
+    expired.flatMap(v => headers(v).fileSegs).toSet
+      .filterNot(p => retainedSegNames.contains(new HPath(p).getName))
+      .foreach(p => f.delete(new HPath(p), false))
+    removable.foreach(p => f.delete(new HPath(p), false))
     (expired.size, removable.size)
   }
 
@@ -595,7 +710,17 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
           }
       }.toSeq
     f.delete(staging, true)
-    FileStats.fillAll(hconf, entries.sortBy(e => (e.bucket, e.path)))
+    val sortedEntries = entries.sortBy(e => (e.bucket, e.path))
+    // footer-stats pass: small batches use the bounded driver pool; past
+    // the threshold it runs as a Spark job so a many-file epoch (e.g. 1024
+    // salted files on an object store) doesn't serialize N/16 footer
+    // round-trips through the driver on the commit critical path
+    val distMin = df.sparkSession.conf
+      .getOption("spark.graft.distributedStatsMinFiles")
+      .map(_.toInt).getOrElse(64)
+    if (sortedEntries.size >= distMin)
+      FileStats.fillAllDistributed(df.sparkSession, sortedEntries)
+    else FileStats.fillAll(hconf, sortedEntries)
   }
 
   /** All PUBLISHED data files of the given epoch (committed or orphaned). */

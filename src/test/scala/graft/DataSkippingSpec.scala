@@ -216,6 +216,41 @@ class DataSkippingSpec extends SparkSpec {
       s"error must name the stuck file: ${e.getMessage}")
   }
 
+  test("distributed footer pass: stats identical to the pooled pass, " +
+      "degrade/fail-fast semantics preserved") {
+    val t = IceTable.create(tmpDir("dstats"), numBuckets = 4)
+    // force the distributed path for this small fixture
+    spark.conf.set("spark.graft.distributedStatsMinFiles", "1")
+    try {
+      val fs = t.writeEpochFiles(
+        rows(t, (0 until 40).map(i => f"p$i%02d"), 7L), 0)
+      val bare = fs.map(_.copy(rows = -1L, minKey = None, maxKey = None,
+        minSeq = None, maxSeq = None))
+      val pooled = FileStats.fillAll(spark.sessionState.newHadoopConf(), bare)
+      val dist = FileStats.fillAllDistributed(spark, bare)
+      assert(dist == pooled, "distributed stats must be byte-identical to " +
+        "the pooled driver pass (same files, same order)")
+      assert(dist.map(_.rows).sum == 40L && dist.forall(_.minKey.isDefined))
+    } finally spark.conf.unset("spark.graft.distributedStatsMinFiles")
+    // hung object-store read inside an executor task: shared deadline
+    // degrades the entry (default) or aborts loudly (failFast)
+    spark.sparkContext.hadoopConfiguration.set("fs.slowfs.impl",
+      classOf[SlowGraftFileSystem].getName)
+    val entry = DataFileEntry("slowfs:///nowhere/x.parquet", 0, -1L, 1)
+    val t0 = System.nanoTime()
+    val degraded = FileStats.fillAllDistributed(spark, Seq(entry),
+      timeoutSec = 1L)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "must not hang")
+    assert(degraded.head.rows == -1L && degraded.head.minKey.isEmpty)
+    val e = intercept[org.apache.spark.SparkException] {
+      FileStats.fillAllDistributed(spark, Seq(entry), timeoutSec = 1L,
+        failFast = true)
+    }
+    assert(e.getMessage.contains("x.parquet") ||
+      Option(e.getCause).exists(_.getMessage.contains("x.parquet")),
+      s"error must name the stuck file: ${e.getMessage}")
+  }
+
   test("legacy manifests without the new fields parse with safe defaults") {
     val legacy =
       """{"version":3,"epochId":3,"schemaId":1,

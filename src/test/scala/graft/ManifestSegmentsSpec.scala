@@ -83,6 +83,131 @@ class ManifestSegmentsSpec extends SparkSpec {
       .contains(OracleFold.sha256Hex("NEW")))
   }
 
+  test("CAS-losing commit's stranded segments are swept by retention") {
+    val dir = tmpDir("msegorphan")
+    val t = IceTable.create(dir, numBuckets = 8, inlineFileThreshold = 0,
+      segChunkBuckets = 2)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 2, nLogPartitions = 4)
+    val parent = t.currentManifest().get
+    val before = segFiles(dir)
+    // deterministic CAS race: the loser (a DIFFERENT file list, so it
+    // publishes fresh segments) gets interleaved by a winner commit INSIDE
+    // its race window — after segment publish, before the snapshot rename —
+    // exactly the losing path that strands fseg files
+    val winnerHandle = new IceTable(dir, defaultNumBuckets = 8,
+      inlineFileThreshold = 0, segChunkBuckets = 2)
+    t.onBeforeSnapshotCas = () => {
+      winnerHandle.commit(parent.copy(version = parent.version + 1,
+        epochId = 900L, parentVersion = parent.version))
+      t.onBeforeSnapshotCas = () => () // fire once
+    }
+    val loser = parent.copy(version = parent.version + 1, epochId = 901L,
+      parentVersion = parent.version, files = parent.files.drop(1))
+    intercept[IllegalArgumentException] { t.commit(loser) }
+    val stranded = segFiles(dir) -- before
+    assert(stranded.nonEmpty,
+      "the losing commit must have published at least one unreferenced segment")
+    // grace=0 so the sweep ignores mtime recency in-test; nothing expires
+    // (keepLast covers everything) — the ORPHAN sweep alone must fire
+    t.expireSnapshots(keepLast = 100, orphanSegGraceMillis = 0L)
+    val after = segFiles(dir)
+    assert((stranded & after).isEmpty, s"stranded segments must be swept: " +
+      s"${stranded & after}")
+    val live = t.currentManifest().get.fileSegs
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(live.subsetOf(after), "retained-referenced segments must survive")
+    // a FRESH orphan inside the grace window survives (in-flight protection)
+    val fresh = new java.io.File(s"$dir/meta/fseg-${"0" * 64}.json")
+    Files.write(fresh.toPath, "[]".getBytes("UTF-8"))
+    t.expireSnapshots(keepLast = 100, orphanSegGraceMillis = 3600000L)
+    assert(fresh.exists, "an orphan younger than the grace window must survive")
+    assert(sha(t).nonEmpty) // table still fully readable
+  }
+
+  test("retention heals a table wedged by missing expired-snapshot segments") {
+    val dir = tmpDir("msegwedge")
+    val t = IceTable.create(dir, numBuckets = 8, inlineFileThreshold = 0,
+      segChunkBuckets = 2)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 2, nLogPartitions = 4)
+    val old = t.readManifestHeader(t.currentVersion() - 1)
+    val cur = t.currentManifest().get
+    // simulate the pre-r5 crash: an EXPIRED-to-be version whose segments
+    // were deleted before its snapshot json (segments unique to it gone)
+    val unique = old.fileSegs.toSet -- cur.fileSegs.toSet
+    assert(unique.nonEmpty, "need a segment only the old snapshot references")
+    unique.foreach(p => Files.delete(Paths.get(new java.net.URI("file:" + p).getPath)))
+    // history/versionAsOf are header-only — they must not trip on the hole
+    assert(t.history().size == 2)
+    // retention must TOLERATE the expired version's missing segments,
+    // delete its json, and leave the current snapshot fully readable
+    val (snaps, _) = t.expireSnapshots(keepLast = 1)
+    assert(snaps == 1)
+    assert(t.history().size == 1)
+    assert(sha(t) == OracleFold.fold(ChangeLogGen.generateLocal(spec))
+      .map { case (k, v) => k -> v.contentSha })
+  }
+
+  test("history/versionAsOf are header-only; numBuckets is cached (countfs)") {
+    spark.sparkContext.hadoopConfiguration.set("fs.countfs.impl",
+      classOf[CountingGraftFileSystem].getName)
+    val dir = s"countfs:${tmpDir("msegcount")}/table"
+    val t = IceTable.create(dir, numBuckets = 8, inlineFileThreshold = 0,
+      segChunkBuckets = 2)
+    ReplayJob.replayGenerated(spark, t, spec, nEpochs = 2, nLogPartitions = 4)
+    assert(t.currentManifest().get.fileSegs.nonEmpty)
+    CountingGraftFileSystem.segOpens.set(0L)
+    assert(t.versionAsOf(Long.MaxValue).contains(t.currentVersion()))
+    assert(t.history().size == 2)
+    assert(CountingGraftFileSystem.segOpens.get() == 0L,
+      "metadata questions must read ZERO segment files")
+    t.readManifest(t.currentVersion())
+    assert(CountingGraftFileSystem.segOpens.get() > 0L,
+      "sanity: the counter does observe real segment resolution")
+    // history carries file counts/bytes from the stamped header
+    val h = t.history().last
+    assert(h.files == t.currentManifest().get.files.size && h.bytes > 0L)
+    // numBuckets: warmed by the commits above — repeated calls do ZERO
+    // metadata IO; a cold handle pays exactly one listing+header read
+    CountingGraftFileSystem.metaLists.set(0L)
+    (1 to 3).foreach(_ => assert(t.numBuckets == 8))
+    assert(CountingGraftFileSystem.metaLists.get() == 0L,
+      "cached numBuckets must not re-list meta/ per call")
+    val cold = new IceTable(dir, defaultNumBuckets = 4,
+      inlineFileThreshold = 0, segChunkBuckets = 2)
+    assert(cold.numBuckets == 8) // resolved from the manifest, not the default
+    CountingGraftFileSystem.metaLists.set(0L)
+    (1 to 3).foreach(_ => assert(cold.numBuckets == 8))
+    assert(CountingGraftFileSystem.metaLists.get() == 0L)
+  }
+
+  test("versionAsOf never serves a legacy unstamped snapshot out of era") {
+    val dir = tmpDir("msegtt")
+    val t = IceTable.create(dir, numBuckets = 4)
+    ReplayJob.replayGenerated(spark, t, spec.copy(nEvents = 400), nEpochs = 2,
+      nLogPartitions = 2)
+    val v1Stamp = t.readManifestHeader(1L).commitTimeMillis
+    assert(v1Stamp > 0)
+    // forge v0 into a LEGACY manifest (no commit stamp)
+    def unstamp(v: Long): Unit = {
+      val p = Paths.get(f"$dir/meta/snap-$v%08d.json")
+      val m = graft.table.ManifestJson.parse(
+        new String(Files.readAllBytes(p), "UTF-8"))
+      Files.write(p, graft.table.ManifestJson
+        .write(m.copy(commitTimeMillis = -1L)).getBytes("UTF-8"))
+    }
+    unstamp(0L)
+    // v0's commit time is bounded by its stamped successor: eligible only
+    // from v1Stamp onward — the old "infinitely old" rule would have served
+    // v0 for ANY timestamp, including ones predating the whole table
+    assert(t.versionAsOf(v1Stamp - 1).isEmpty,
+      "a legacy snapshot must not be served before its successor's stamp")
+    assert(t.versionAsOf(v1Stamp).contains(1L))
+    // fully-legacy table: timestamp travel refuses (version travel still ok)
+    unstamp(1L)
+    assert(t.versionAsOf(System.currentTimeMillis()).isEmpty)
+    assert(t.readAt(spark, 1L).count() > 0)
+  }
+
   test("small tables stay inline (no segment indirection)") {
     val dir = tmpDir("minline")
     val t = IceTable.create(dir, numBuckets = 4) // default threshold 1024

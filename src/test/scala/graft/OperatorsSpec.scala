@@ -210,6 +210,36 @@ class OperatorsSpec extends SparkSpec {
     assert(n8 == t8)
   }
 
+  test("native LshBucketProbes matches the Column margin formulation") {
+    import graft.queries.VectorQueries
+    import org.apache.spark.sql.Column
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), VectorQueries.qvec(col("embedding")).as("q"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val native = toMap(e.select(col("vec_id"),
+      graft.functions.LshBuckets.lshBucketProbes(col("q"), 4, 4).as("pb")))
+    // semantic reference: the r4 Column-algebra probe derivation — bucket,
+    // then the lowest-|projection| bit flipped (struct-min ties to lowest j)
+    def projCol(qc: Column, p: Int): Column =
+      aggregate(zip_with(qc, sequence(lit(0), size(qc) - 1),
+        (x, i) => x * (((lit(p) * 73 + i * 37) % 19) - 9)),
+        lit(0L), (acc, v) => acc + v)
+    val ref = toMap(e.select(col("vec_id"),
+      array((0 until 4).flatMap { t =>
+        val bkt = VectorQueries.lshBucket(col("q"), t * 4, 4)
+        val margins = array((0 until 4).map(j =>
+          struct(abs(projCol(col("q"), t * 4 + j)).as("m"),
+            lit(j).as("j"))): _*)
+        val jmin = array_min(margins).getField("j")
+        val flip = element_at(
+          array((0 until 4).map(j => lit(1 << j)): _*), jmin + 1)
+        Seq(bkt, bkt.bitwiseXOR(flip))
+      }: _*).as("pb")))
+    assert(native == ref,
+      "native probe pairs must be bit-identical to the Column formulation")
+  }
+
   test("embedding near-dup pairs cluster to min-id survivors (d9 end-to-end)") {
     import graft.operators.DedupClusters
     // d9's top LSH-candidate pairs feed connected components: every vector
