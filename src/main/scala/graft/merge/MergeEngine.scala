@@ -99,6 +99,88 @@ object MergeEngine {
     if (highs.isEmpty) 0L else highs.max - highs.min
   }
 
+  /** Commit with OPTIMISTIC REBASE on CAS failure — the reference commits
+    * through an Iceberg transaction whose whole metadata pipeline retries
+    * on conflict (IcebergMetadataWriter.flush,
+    * gobblin-iceberg/.../writer/IcebergMetadataWriter.java:834-905). When a
+    * concurrent writer won the snapshot race, re-read the NEW parent and
+    * re-commit iff the interleaver's changes are provably disjoint from
+    * this epoch's:
+    *  - no bucket this epoch rewrote had its file set changed (same-bucket
+    *    interleaving would make this epoch's CoW output stale),
+    *  - the interleaver's newly committed offset intervals do not overlap
+    *    this epoch's claims (overlap could double-account the same events),
+    *  - same schema, same bucket layout, same log-partition universe (a
+    *    schema evolution / rebucket / universe change interleaving is not a
+    *    mechanical rebase — the epoch must replan).
+    * On any non-rebasable conflict the original CAS error propagates: the
+    * single-writer-per-table discipline remains the documented norm, this
+    * is the 100×-operations upgrade for the disjoint case (e.g. a
+    * compaction of cold buckets landing under a hot-bucket ingest epoch). */
+  private def commitWithRebase(
+      table: IceTable,
+      manifest: EpochManifest,
+      parent0: Option[EpochManifest],
+      affectedBuckets: Set[Int],
+      claimedIvs: Seq[(Long, Long)],
+      nLogPartitions: Int,
+      maxRetries: Int = 3): EpochManifest = {
+    var m = manifest
+    var par = parent0
+    var left = maxRetries
+    while (true) {
+      try return table.commit(m)
+      catch {
+        case e: IllegalArgumentException if left > 0 =>
+          left -= 1
+          val np = table.currentManifest().getOrElse(throw e)
+          def byBucket(fs: Seq[graft.model.DataFileEntry]) =
+            fs.groupBy(_.bucket).map { case (b, l) => b -> l.map(_.path).toSet }
+          val ob = byBucket(par.map(_.files).getOrElse(Nil))
+          val nb = byBucket(np.files)
+          val interleaverTouched = (ob.keySet ++ nb.keySet).filter(b =>
+            ob.getOrElse(b, Set.empty) != nb.getOrElse(b, Set.empty))
+          val oldIv = committedIntervals(par)
+          val newIv = committedIntervals(Some(np))
+          val claims = Intervals.normalize(claimedIvs)
+          val claimsDisjoint = newIv.keySet.forall(p =>
+            Intervals.intersect(claims, newIv(p)) ==
+              Intervals.intersect(claims, oldIv.getOrElse(p, Nil)))
+          val bucketOverlap = interleaverTouched.intersect(affectedBuckets)
+          if (np.schemaId != m.schemaId ||
+              table.bucketCountOf(Some(np)) != m.numBuckets ||
+              newIv.keySet != oldIv.keySet ||
+              bucketOverlap.nonEmpty || !claimsDisjoint)
+            throw new IllegalArgumentException(
+              s"concurrent writer conflict is not rebasable (bucket " +
+                s"overlap=${bucketOverlap.toSeq.sorted.mkString(",")} " +
+                s"claimsDisjoint=$claimsDisjoint schema=${np.schemaId}/" +
+                s"${m.schemaId} buckets=${table.bucketCountOf(Some(np))}/" +
+                s"${m.numBuckets}); single-writer rule applies", e)
+          val offsets2 = Intervals.mergeClaims(newIv, nLogPartitions,
+            _ => claimedIvs)
+          m = m.copy(
+            version = np.version + 1,
+            parentVersion = np.version,
+            // untouched buckets take the NEW parent's files (they carry the
+            // interleaver's changes); this epoch's rewritten buckets keep
+            // its output — the interleaver provably didn't touch them
+            files = (np.files.filterNot(f =>
+                affectedBuckets.contains(f.bucket)) ++
+              m.files.filter(f => affectedBuckets.contains(f.bucket)))
+              .sortBy(f => (f.bucket, f.path)),
+            offsets = offsets2,
+            completeUntilSeq = math.max(np.completeUntilSeq,
+              Intervals.contiguousOriginPrefix(offsets2)))
+          par = Some(np)
+          System.err.println(s"[graft] commit conflict: rebased epoch " +
+            s"${m.epochId} onto version ${np.version} (disjoint buckets/" +
+            s"claims); retrying (${left} left)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /**
    * Apply one epoch of change events to `table`. Idempotent: events inside
    * an already-committed offset interval are filtered out; an epoch whose
@@ -412,7 +494,8 @@ object MergeEngine {
           completeUntilSeq = complete0, numBuckets = nBuckets))
         .getOrElse(EpochManifest(0L, epochId, SchemaRegistry.baseSchemaId,
           Nil, mo, st, -1L, complete0, numBuckets = nBuckets))
-      val committed = table.commit(m)
+      val committed = commitWithRebase(table, m, parent, Set.empty,
+        claimedIvs, nLogPartitions)
       return EpochOutcome(committed, skipped = true, st)
     }
 
@@ -658,7 +741,8 @@ object MergeEngine {
     // --- 6. task-level policy gate: abort (no commit) on failure ---------
     graft.pipeline.TaskPolicies.enforce(taskPolicies, stats)
 
-    val committed = timed("commit")(table.commit(manifest))
+    val committed = timed("commit")(commitWithRebase(table, manifest, parent,
+      affectedBuckets, claimedIvs, nLogPartitions))
     EpochOutcome(committed, skipped = false, stats)
     } finally { winners.unpersist(); () }
 

@@ -293,43 +293,9 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
 
   /** publish `src` at `dst` failing (false) when the destination exists —
     * the strongest no-overwrite primitive each scheme offers (see
-    * [[commit]]). */
+    * [[commit]]); shared with [[GraftCatalog]] via [[AtomicRename]]. */
   private def renameNoReplace(f: FileSystem, src: HPath, dst: HPath): Boolean =
-    if (Option(f.getUri.getScheme).forall(_ == "file")) {
-      // atomic link(2) CAS; f.delete (not nio) also removes the local
-      // checksum shadow file of the tmp name
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(src.toUri.getPath))
-        f.delete(src, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException =>
-          // store without hard links (VFAT/some FUSE mounts) or an odd
-          // layout: degrade to the rename path rather than failing every
-          // commit (the link CAS is an upgrade, not a requirement)
-          fileContextRenameNoReplace(f, src, dst)
-      }
-    } else fileContextRenameNoReplace(f, src, dst)
-
-  private def fileContextRenameNoReplace(f: FileSystem, src: HPath,
-      dst: HPath): Boolean =
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, f.getConf)
-      fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // no AbstractFileSystem binding for this scheme: best-effort guard +
-        // FileSystem rename (HDFS-like stores fail it on existing dst anyway)
-        try !f.exists(dst) && f.rename(src, dst)
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-    }
+    AtomicRename.renameNoReplace(f, src, dst)
 
   // ---- reads --------------------------------------------------------------
 

@@ -99,4 +99,42 @@ class MultiTableSpec extends SparkSpec {
     assert(good.table.currentVersion() == 0L)
     assert(badTable.currentVersion() == -1L, "failed dataset must not commit")
   }
+
+  test("catalog: a second session discovers and reads a table by NAME") {
+    import graft.model.ChangeEvent
+    import graft.table.GraftCatalog
+    val cat = GraftCatalog.create(tmpDir("cat"))
+    val dir = tmpDir("catT")
+    val t = IceTable.create(dir, numBuckets = 4)
+    val events = (0 until 50).map(i => ChangeEvent("i", i.toLong,
+      s"org${i % 3}", s"p$i", f"c$i%040d", "scala", s"v$i")).toDS()
+    MergeEngine.applyEpoch(spark, t, events, 0, nLogPartitions = 4)
+    cat.register("commits", dir, defaultNumBuckets = 4)
+
+    // a FRESH session (own state, no temp views, no path handed in) finds
+    // the table by name through the shared catalog directory alone
+    val s2 = spark.newSession()
+    val t2 = GraftCatalog.create(cat.dir).loadView(s2, "commits")
+    assert(t2.numBuckets == 4, "handle params travel through the catalog")
+    assert(s2.sql("SELECT count(*) FROM commits").head().getLong(0) == 50L)
+    assert(t2.read(s2).select("path").as[String].collect().toSet ==
+      (0 until 50).map(i => s"p$i").toSet)
+    assert(!spark.catalog.tableExists("commits"),
+      "view registration is session-scoped; the origin session is untouched")
+
+    // idempotent re-register burns no catalog version
+    val v = cat.currentVersion()
+    cat.register("commits", dir, defaultNumBuckets = 4)
+    assert(cat.currentVersion() == v)
+
+    // concurrent registrars: CAS losers re-read + retry, nothing is lost
+    val names = (0 until 6).map(i => s"t$i")
+    val threads = names.map { n =>
+      val th = new Thread(() => { cat.register(n, dir, 4); () }); th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(cat.tables().keySet == (names.toSet + "commits"))
+    assert(cat.unregister("t0") && !cat.tables().contains("t0"))
+    assert(!cat.unregister("t0"), "double unregister reports absence")
+  }
 }

@@ -58,6 +58,68 @@ class TableInvariantsSpec extends SparkSpec {
     assert(t.read(spark).count() > 0)
   }
 
+  test("optimistic commit retry: disjoint-bucket interleave rebases; " +
+      "overlapping buckets still raise") {
+    import spark.implicits._
+    import graft.merge.MergeEngine
+    val dir = tmpDir("rebase")
+    val t = IceTable.create(dir, numBuckets = 4)
+    val c40 = "c" * 40
+    def ev(op: String, seq: Long, path: String, content: String) =
+      ChangeEvent(op, seq, "r", path, c40, "scala", content)
+    // keys in two DIFFERENT buckets, plus one sharing k1's bucket
+    val k1 = "p0"
+    val k2 = (1 to 50).map(i => s"p$i").find(k =>
+      t.bucketOf("r", k, 4) != t.bucketOf("r", k1, 4)).get
+    val k3 = (1 to 50).map(i => s"q$i").find(k =>
+      t.bucketOf("r", k, 4) == t.bucketOf("r", k1, 4)).get
+    MergeEngine.applyEpoch(spark, t, Seq(ev("i", 1L, k1, "a"),
+      ev("i", 2L, k2, "b"), ev("i", 3L, k3, "c")).toDS(), 0,
+      nLogPartitions = 2, claimedRange = Some((-1L, 5L)))
+    val v0 = t.currentVersion()
+
+    // DISJOINT: while epoch 1 (k1's bucket, claims (5,6]) sits inside its
+    // commit window, a second writer commits epoch 2 (k2's bucket, claims
+    // (10,11]) — epoch 1 must lose the CAS, rebase, and commit on top
+    val t2 = new IceTable(dir, defaultNumBuckets = 4)
+    t.onBeforeSnapshotCas = () => {
+      t.onBeforeSnapshotCas = () => ()
+      MergeEngine.applyEpoch(spark, t2, Seq(ev("u", 11L, k2, "b2")).toDS(),
+        2, nLogPartitions = 2, claimedRange = Some((10L, 11L)))
+    }
+    val out = MergeEngine.applyEpoch(spark, t,
+      Seq(ev("u", 6L, k1, "a2")).toDS(), 1, nLogPartitions = 2,
+      claimedRange = Some((5L, 6L)))
+    assert(!out.skipped && out.stats.rowsApplied == 1)
+    assert(t.currentVersion() == v0 + 2, "both interleaved writers must commit")
+    def state() = t.read(spark).select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state() == Map(k1 -> "a2", k2 -> "b2", k3 -> "c"),
+      "both epochs' effects must be visible after the rebase")
+    val ivs = MergeEngine.committedIntervals(t.currentManifest())
+    assert(ivs.values.forall(s =>
+      Intervals.covers(s, 6L) && Intervals.covers(s, 11L)),
+      "both writers' claims must be committed")
+
+    // OVERLAP: the interleaver touches k1's bucket too — NOT rebasable; the
+    // losing epoch aborts with the CAS error and leaves no state behind
+    t.onBeforeSnapshotCas = () => {
+      t.onBeforeSnapshotCas = () => ()
+      MergeEngine.applyEpoch(spark, t2, Seq(ev("u", 21L, k3, "c2")).toDS(),
+        4, nLogPartitions = 2, claimedRange = Some((20L, 21L)))
+    }
+    val e = intercept[IllegalArgumentException] {
+      MergeEngine.applyEpoch(spark, t, Seq(ev("u", 16L, k1, "a3")).toDS(),
+        3, nLogPartitions = 2, claimedRange = Some((15L, 16L)))
+    }
+    assert(e.getMessage.contains("not rebasable"))
+    assert(state() == Map(k1 -> "a2", k2 -> "b2", k3 -> "c2"),
+      "the interleaver's commit survives; the aborted epoch applied nothing")
+    val ivs2 = MergeEngine.committedIntervals(t.currentManifest())
+    assert(ivs2.values.forall(s => !Intervals.covers(s, 16L)),
+      "the aborted epoch's claims must NOT be committed")
+  }
+
   test("table runs end-to-end on a non-file Hadoop FileSystem scheme") {
     // register a custom scheme backed by local disk; every metadata and data
     // operation (staging write, publish rename, snapshot CAS, manifest read,
