@@ -83,6 +83,20 @@ object IngestMain {
           f"compacted_buckets=${rep.compactedBuckets}%d " +
           f"carried_files=${rep.carriedFiles}%d " +
           f"expired_manifests=$ms%d deleted_files=$fs%d")
+      case "reprocess" =>
+        // re-ingest quarantined rows under the CURRENT policies (the
+        // work-unit-retry analog; see QuarantineReprocess). Survivors merge
+        // into the table; still-bad rows re-quarantine under the new epoch.
+        val Array(_, tableDir, epochIdS) = args.take(3)
+        val t = IceTable.create(tableDir)
+        val rep = graft.pipeline.QuarantineReprocess.run(spark, t,
+          s"$tableDir/state/quarantine", epochIdS.toLong)
+        println(f"mode=reprocess pending_epochs=${rep.consumedEpochs.size}%d " +
+          f"rows_read=${rep.rowsRead}%d applied=${rep.applied}%d " +
+          f"deletes=${rep.deletes}%d requarantined=${rep.requarantined}%d " +
+          f"stale_drops=${rep.staleDrops}%d " +
+          f"final_rows=${t.read(spark).count()}%d " +
+          f"version=${t.currentVersion()}%d")
       case "rebucket" =>
         // layout migration: one verified snapshot in the new bucket count
         // (partition-spec-evolution analog; old snapshots keep the old
@@ -168,7 +182,7 @@ object IngestMain {
           f"final_rows=${t.read(spark).count()}%d version=${t.currentVersion()}%d")
       case other =>
         System.err.println(s"unknown mode '$other'; use " +
-          "replay|stream|replay-budgeted|maintain|rebucket|history")
+          "replay|stream|replay-budgeted|maintain|reprocess|rebucket|history")
         sys.exit(2)
     } finally spark.stop()
   }

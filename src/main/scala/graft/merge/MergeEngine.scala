@@ -198,7 +198,14 @@ object MergeEngine {
       taskPolicies: Seq[graft.pipeline.TaskPolicies.Policy] =
         Seq(graft.pipeline.TaskPolicies.RowCountReconciliation()),
       rowPolicies: Seq[RowPolicies.Policy] = RowPolicies.defaults,
-      claimedRange: Option[(Long, Long)] = None): EpochOutcome = {
+      claimedRange: Option[(Long, Long)] = None,
+      // ONLY for quarantine reprocess (QuarantineReprocess.run): admit rows
+      // whose seqs sit inside committed intervals. Quarantine is terminal —
+      // a quarantined row's seq was claimed but its effect provably never
+      // reached the table — so re-admission cannot double-apply; and the
+      // LWW merge is STRICT (`u.seq > c.lastSeq`), so even a repeated
+      // reprocess of the same survivor is a stale-drop, not a re-apply.
+      admitClaimed: Boolean = false): EpochOutcome = {
     import spark.implicits._
 
     // The merge join is co-partitioned on `bucket` ALONE (a function of the
@@ -329,7 +336,7 @@ object MergeEngine {
         }.reduce(_ && _)
       else
         !graft.functions.IntervalInside(col("logPart"), col("seq"), committedIv)
-    val fresh = good.filter(fence)
+    val fresh = if (admitClaimed) good else good.filter(fence)
 
     // --- 3. dedup: last-writer-wins by seq per key -----------------------
     // Two-phase argmax: phase A aggregates ONLY (key → max seq, count) —

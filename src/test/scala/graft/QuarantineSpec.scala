@@ -63,6 +63,73 @@ class QuarantineSpec extends SparkSpec {
       out.stats.staleDrops)
   }
 
+  test("reprocess round-trip: poison rows -> fix policy -> survivors land; " +
+      "counters reconcile; still-bad rows stay pending") {
+    import graft.pipeline.{QuarantineReprocess, RowPolicies}
+    import graft.merge.Intervals
+    val t = IceTable.create(tmpDir("qrt"), numBuckets = 4)
+    val qDir = tmpDir("qrq")
+    def reconciles(st: graft.model.EpochStats) =
+      st.rowsExtracted == st.rowsQuarantined + st.rowsApplied +
+        st.deletesApplied + st.dedupDrops + st.staleDrops
+
+    // epoch 0 under an OVERLY-STRICT policy: content must be >= 3 chars.
+    // good rows pass; 5 "short" rows and 1 truly-bad (null op) quarantine.
+    val strict = RowPolicies.defaults :+
+      RowPolicies.Policy("content_min3", length(col("content")) >= 3)
+    val events =
+      (0 until 10).map(i => ChangeEvent("u", i.toLong, "r0", s"g$i",
+        f"c$i%040d", "scala", s"val$i")) ++
+      (10 until 15).map(i => ChangeEvent("u", i.toLong, "r0", s"p$i",
+        f"c$i%040d", "scala", "x")) :+
+      ChangeEvent(null, 15L, "r0", "pX", "c" * 40, "scala", "val")
+    val out0 = MergeEngine.applyEpoch(spark, t, events.toDS(), epochId = 0,
+      nLogPartitions = 2, quarantineDir = Some(qDir), rowPolicies = strict,
+      claimedRange = Some((-1L, 15L)))
+    assert(out0.stats.rowsQuarantined == 6 && out0.stats.rowsApplied == 10)
+    assert(t.read(spark).count() == 10)
+
+    // meanwhile p10's key moves on: a NEWER committed update (seq 20)
+    MergeEngine.applyEpoch(spark, t, Seq(ChangeEvent("u", 20L, "r0", "p10",
+      "d" * 40, "scala", "newer")).toDS(), epochId = 1, nLogPartitions = 2,
+      claimedRange = Some((15L, 20L)))
+
+    // fix = drop the strict policy; reprocess everything pending
+    val rep = QuarantineReprocess.run(spark, t, qDir, epochId = 100,
+      nLogPartitions = 2)
+    assert(rep.consumedEpochs == Seq(0L) && rep.rowsRead == 6)
+    assert(rep.applied == 4, "p11..p14 survive the fixed policy and land")
+    assert(rep.staleDrops == 1,
+      "p10's quarantined seq=10 loses LWW to the committed seq=20")
+    assert(rep.requarantined == 1, "the null-op row fails defaults too")
+    assert(reconciles(rep.outcome.get.stats))
+    val state = t.read(spark).select("path", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((11 until 15).forall(i => state(s"p$i") == "x"))
+    assert(state("p10") == "newer", "reprocess must not resurrect stale data")
+    assert(!state.contains("pX"))
+    // offset claims were already covered by the original epochs: unchanged
+    val ivs = MergeEngine.committedIntervals(t.currentManifest())
+    assert(ivs.values.forall(s => Intervals.covers(s, 15L) &&
+      Intervals.covers(s, 20L)))
+
+    // still-bad rows are re-quarantined under the NEW epoch and stay
+    // pending; the consumed input was archived (repeat run = no-op on state)
+    assert(QuarantineReprocess.pendingEpochs(spark, qDir) == Seq(100L))
+    val v = t.currentVersion()
+    val rep2 = QuarantineReprocess.run(spark, t, qDir, epochId = 101,
+      nLogPartitions = 2)
+    assert(rep2.rowsRead == 1 && rep2.applied == 0 &&
+      rep2.requarantined == 1)
+    assert(rep2.outcome.get.skipped, "nothing fresh: no new snapshot")
+    assert(t.currentVersion() == v)
+    assert(QuarantineReprocess.pendingEpochs(spark, qDir) == Seq(101L))
+    // and with NOTHING pending, run() is a true no-op
+    val rep3 = QuarantineReprocess.run(spark, t, tmpDir("qempty"),
+      epochId = 102)
+    assert(rep3.outcome.isEmpty && rep3.rowsRead == 0)
+  }
+
   test("Fail-severity task policy aborts the epoch: no snapshot committed") {
     val t = IceTable.create(tmpDir("qtab2"), numBuckets = 4)
     val strict = Seq(TaskPolicies.RowCountReconciliation(),
