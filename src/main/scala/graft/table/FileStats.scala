@@ -129,6 +129,58 @@ object FileStats {
     } finally r.close()
   }
 
+  /** Bloom test for one exact (repo, path) key against a parquet file's
+    * NATIVE column bloom filters (written by the epoch writer when
+    * `spark.graft.keyBlooms` is on). Returns false only when EVERY row
+    * group carries blooms for both columns and NONE can contain both
+    * values — absent/unreadable blooms admit the file (blooms, like all
+    * stats here, are strictly an optimization).
+    *
+    * The blooms live in the FILES, not the manifest, by design: a bloom
+    * with a useful false-positive rate over a ~10^6-row file is ~1 MiB —
+    * embedding that per entry would multiply manifest size by orders of
+    * magnitude (the exact metadata-scale hazard two-level manifests
+    * removed). Parquet-native blooms size themselves with the file, cost
+    * one small metadata read, and are only consulted for the handful of
+    * candidates that survive bucket + key-range + salt-residue pruning. */
+  def mightContainKey(conf: Configuration, file: String,
+                      repo: String, path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(file)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks
+        val it = blocks.iterator()
+        var any = false
+        while (it.hasNext && !any) {
+          val b = it.next()
+          val bfr = r.getBloomFilterDataReader(b)
+          def admit(colName: String, value: String): Boolean = {
+            val cit = b.getColumns.iterator()
+            var res = true // no such column / no bloom -> admit
+            while (cit.hasNext) {
+              val c = cit.next()
+              if (c.getPath.toDotString == colName) {
+                val bloom = bfr.readBloomFilter(c)
+                if (bloom != null)
+                  res = bloom.findHash(
+                    bloom.hash(Binary.fromString(value)))
+              }
+            }
+            res
+          }
+          any = admit("repo", repo) && admit("path", path)
+        }
+        any // a zero-row-group file holds nothing: reject is exact
+      } finally r.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] bloom read failed: $file ($e); " +
+          "file admitted")
+        true
+    }
+
   /** Fill `rows` + stats bounds into each entry via one pooled footer pass.
     * Bounded: at most 16 concurrent metadata reads under ONE shared
     * `timeoutSec` deadline for the whole batch, and the pool is

@@ -419,16 +419,34 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     }
   }
 
+  /** [[lookupCandidateFiles]] narrowed by each candidate's NATIVE parquet
+    * key blooms (when `spark.graft.keyBlooms` is on): one small metadata
+    * read per stats-admitted candidate typically proves all-but-one (often
+    * all, for an absent key) cannot hold the key — files without blooms are
+    * admitted unchanged. */
+  def lookupFiles(spark: SparkSession, m: EpochManifest, repo: String,
+      path: String): Seq[DataFileEntry] = {
+    val cands = lookupCandidateFiles(m, repo, path)
+    val bloomsOn = spark.conf.getOption("spark.graft.keyBlooms")
+      .forall(_.toBoolean)
+    if (!bloomsOn || cands.isEmpty) cands
+    else {
+      val conf = hconf
+      cands.filter(f => FileStats.mightContainKey(conf, f.path, repo, path))
+    }
+  }
+
   /** POINT LOOKUP (serving path): the user-view row(s) for one exact key,
     * reading only the files that can hold it — bucket pruning by the key
-    * hash, then manifest-stats pruning (key range + salt residue), then
-    * parquet row-group pruning via the pushed key predicate. At 100 TB a
-    * key lookup opens a handful of files, never the table. */
+    * hash, then manifest-stats pruning (key range + salt residue), then a
+    * per-candidate parquet BLOOM test, then parquet row-group pruning via
+    * the pushed key predicate. At 100 TB a key lookup opens ~1 file, never
+    * the table; an absent key usually proves absent with zero data reads. */
   def lookup(spark: SparkSession, repo: String, path: String): DataFrame =
     currentManifest() match {
       case None => read(spark).filter(lit(false))
       case Some(m) =>
-        readFiles(spark, lookupCandidateFiles(m, repo, path), m.schemaId)
+        readFiles(spark, lookupFiles(spark, m, repo, path), m.schemaId)
           .filter(col("repo") === repo && col("path") === path)
           .filter(!coalesce(col("deleted"), lit(false)))
           .drop("bucket", "lastSeq", "deleted")
@@ -640,8 +658,22 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     val sorted = parted
       .sortWithinPartitions("bucket", "repo", "path")
       .write.mode("overwrite")
-    (if (salted) sorted.partitionBy("bucket", "_salt")
-     else sorted.partitionBy("bucket"))
+    // Native parquet key blooms (spark.graft.keyBlooms, default on): the
+    // point-lookup path tests them AFTER range/residue pruning to cut the
+    // candidate set to ~1 file under non-clustered keys. ADAPTIVE sizing
+    // (PARQUET-2254) right-sizes each bloom from the chunk's observed NDV,
+    // so small files don't pay the max-bytes footprint. Blooms live in the
+    // files, never the manifest — see FileStats.mightContainKey.
+    val withBlooms =
+      if (df.sparkSession.conf.getOption("spark.graft.keyBlooms")
+            .forall(_.toBoolean))
+        sorted
+          .option("parquet.bloom.filter.enabled#repo", "true")
+          .option("parquet.bloom.filter.enabled#path", "true")
+          .option("parquet.bloom.filter.adaptive.enabled", "true")
+      else sorted
+    (if (salted) withBlooms.partitionBy("bucket", "_salt")
+     else withBlooms.partitionBy("bucket"))
       .parquet(staging.toString)
     // publish: move every staged file under the flat single-level data
     // layout (any _salt staging level is flattened into the file NAME —

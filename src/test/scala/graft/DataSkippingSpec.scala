@@ -156,6 +156,56 @@ class DataSkippingSpec extends SparkSpec {
     assert(t.lookup(spark, "r", "missing").isEmpty)
   }
 
+  test("per-file key blooms cut range-overlapping lookup candidates to ~1; " +
+      "absent keys prove absent with zero data reads") {
+    // two epochs write INTERLEAVED key sets into the same bucket: their
+    // [minKey, maxKey] ranges overlap almost fully, so range pruning admits
+    // both files — only the native parquet blooms can tell them apart
+    val t = IceTable.create(tmpDir("blm"), numBuckets = 1)
+    val even = (0 until 200 by 2).map(i => f"k$i%03d")
+    val odd = (1 until 200 by 2).map(i => f"k$i%03d")
+    val f0 = t.writeEpochFiles(rows(t, even, 5L), 0)
+    val f1 = t.writeEpochFiles(rows(t, odd, 6L), 1)
+    t.commit(EpochManifest(0, 1, 1, f0 ++ f1, offsets2(6L),
+      EpochStats(200, 0, 0, 200, 0, 0), -1L, completeUntilSeq = 6L,
+      numBuckets = 1))
+    val m = t.currentManifest().get
+
+    // blooms live in the FILES: the manifest carries nothing bloom-shaped
+    assert(!ManifestJson.write(m).toLowerCase.contains("bloom"))
+
+    Seq("k004" -> "v", "k007" -> "v").foreach { case (k, _) =>
+      val cand = t.lookupCandidateFiles(m, "r", k)
+      assert(cand.size == 2, s"$k: range pruning cannot separate the files")
+      val admitted = t.lookupFiles(spark, m, "r", k)
+      assert(admitted.size == 1, s"$k: bloom must cut candidates to 1")
+      val row = t.lookup(spark, "r", k).collect()
+      assert(row.length == 1 && row.head.getAs[String]("content") == s"v$k")
+    }
+    // absent key INSIDE both ranges: blooms reject every candidate — the
+    // lookup answers "no such key" from metadata alone
+    assert(t.lookupCandidateFiles(m, "r", "k100a").size == 2)
+    assert(t.lookupFiles(spark, m, "r", "k100a").isEmpty)
+    assert(t.lookup(spark, "r", "k100a").isEmpty)
+
+    // escape hatch: disabled blooms fall back to the stats-admitted set
+    spark.conf.set("spark.graft.keyBlooms", "false")
+    try assert(t.lookupFiles(spark, m, "r", "k004").size == 2)
+    finally spark.conf.unset("spark.graft.keyBlooms")
+
+    // files written with blooms OFF are admitted (never wrongly skipped)
+    spark.conf.set("spark.graft.keyBlooms", "false")
+    val fNb = try t.writeEpochFiles(rows(t, Seq("zz1", "zz2"), 7L), 2)
+      finally spark.conf.unset("spark.graft.keyBlooms")
+    t.commit(m.copy(version = 1, parentVersion = 0, epochId = 2,
+      files = m.files ++ fNb))
+    val m2 = t.currentManifest().get
+    val adm = t.lookupFiles(spark, m2, "r", "zz1")
+    assert(adm.exists(f => fNb.exists(_.path == f.path)),
+      "a bloom-less file must stay in the candidate set")
+    assert(t.lookup(spark, "r", "zz1").count() == 1)
+  }
+
   test("age-based retention expires old snapshots, keeps readers unaffected") {
     val t = IceTable.create(tmpDir("ret"), numBuckets = 2)
     def commitGen(v: Long, keys: Seq[String], seq: Long): Unit = {
