@@ -33,6 +33,14 @@ object IngestMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in tracking-event emission (gobblin-metrics reporter analog):
+    // SPARK_GRAFT_METRICS_DIR=<dir> appends one json line per lifecycle
+    // event (epoch commit, compaction, retention) — see graft.metrics
+    sys.env.get("SPARK_GRAFT_METRICS_DIR").foreach { d =>
+      graft.metrics.Metrics.addReporter(
+        new graft.metrics.Metrics.JsonLinesFileReporter(d,
+          spark.sessionState.newHadoopConf()))
+    }
     try mode match {
       case "replay" =>
         val Array(_, tableDir, nEvents, nEpochs) = args.take(4)
@@ -184,6 +192,9 @@ object IngestMain {
         System.err.println(s"unknown mode '$other'; use " +
           "replay|stream|replay-budgeted|maintain|reprocess|rebucket|history")
         sys.exit(2)
-    } finally spark.stop()
+    } finally {
+      graft.metrics.Metrics.clearReporters() // flush/close event files
+      spark.stop()
+    }
   }
 }

@@ -147,6 +147,14 @@ object Compaction {
       stats = EpochStats(0, 0, 0, 0, 0, 0),
       parentVersion = parent.version)
     val committed = table.commit(manifest)
+    graft.metrics.Metrics.emit("graft.maintenance", "CompactionFinished", Map(
+      "table" -> table.dir,
+      "version" -> committed.version.toString,
+      "purgedTombstones" -> purged.toString,
+      "liveRows" -> liveBefore.toString,
+      "files" -> committed.files.size.toString,
+      "compactedBuckets" -> fragBuckets.size.toString,
+      "carriedFiles" -> carried.size.toString))
     CompactionReport(committed.version, purged, liveBefore,
       committed.files.size, fragBuckets.size, carried.size)
     }

@@ -181,6 +181,25 @@ object MergeEngine {
     throw new IllegalStateException("unreachable")
   }
 
+  /** post-commit tracking event (gobblin-metrics GobblinTrackingEvent
+    * analog; see graft.metrics.Metrics) — emitted AFTER the snapshot is
+    * durable, so external consumers never see an event for a snapshot that
+    * does not exist. No reporters registered ⇒ nothing is built. */
+  private def emitCommitEvent(table: IceTable, m: EpochManifest,
+      st: EpochStats, skipped: Boolean): Unit =
+    graft.metrics.Metrics.emit("graft.ingest", "EpochCommitted", Map(
+      "table" -> table.dir,
+      "epochId" -> m.epochId.toString,
+      "version" -> m.version.toString,
+      "metadataOnly" -> skipped.toString,
+      "completeUntilSeq" -> m.completeUntilSeq.toString,
+      "rowsExtracted" -> st.rowsExtracted.toString,
+      "rowsQuarantined" -> st.rowsQuarantined.toString,
+      "dedupDrops" -> st.dedupDrops.toString,
+      "rowsApplied" -> st.rowsApplied.toString,
+      "deletesApplied" -> st.deletesApplied.toString,
+      "staleDrops" -> st.staleDrops.toString))
+
   /**
    * Apply one epoch of change events to `table`. Idempotent: events inside
    * an already-committed offset interval are filtered out; an epoch whose
@@ -503,6 +522,7 @@ object MergeEngine {
           Nil, mo, st, -1L, complete0, numBuckets = nBuckets))
       val committed = commitWithRebase(table, m, parent, Set.empty,
         claimedIvs, nLogPartitions)
+      emitCommitEvent(table, committed, st, skipped = true)
       return EpochOutcome(committed, skipped = true, st)
     }
 
@@ -750,6 +770,7 @@ object MergeEngine {
 
     val committed = timed("commit")(commitWithRebase(table, manifest, parent,
       affectedBuckets, claimedIvs, nLogPartitions))
+    emitCommitEvent(table, committed, stats, skipped = false)
     EpochOutcome(committed, skipped = false, stats)
     } finally { winners.unpersist(); () }
 

@@ -558,6 +558,11 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
       .filterNot(p => retainedSegNames.contains(new HPath(p).getName))
       .foreach(p => f.delete(new HPath(p), false))
     removable.foreach(p => f.delete(new HPath(p), false))
+    graft.metrics.Metrics.emit("graft.maintenance", "SnapshotsExpired", Map(
+      "table" -> dir,
+      "expiredManifests" -> expired.size.toString,
+      "deletedFiles" -> removable.size.toString,
+      "retainedVersions" -> retained.size.toString))
     (expired.size, removable.size)
   }
 
