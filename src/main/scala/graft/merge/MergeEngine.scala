@@ -157,7 +157,23 @@ object MergeEngine {
                 s"claimsDisjoint=$claimsDisjoint schema=${np.schemaId}/" +
                 s"${m.schemaId} buckets=${table.bucketCountOf(Some(np))}/" +
                 s"${m.numBuckets}); single-writer rule applies", e)
-          val offsets2 = Intervals.mergeClaims(newIv, nLogPartitions,
+          // re-apply the universe WIDENING against the NEW parent exactly
+          // like the main path (committedIv): partitions this epoch added
+          // must re-enter with the intersection fence, or the rebased
+          // manifest would carry claim-only intervals that stall the
+          // completeness/purge horizons (state stays right — LWW absorbs —
+          // but the horizons must not regress to claim fragments)
+          val newIvWidened =
+            if (newIv.isEmpty) newIv
+            else {
+              val missing = (0 until nLogPartitions).toSet -- newIv.keySet
+              if (missing.isEmpty) newIv
+              else {
+                val common = newIv.values.reduce(Intervals.intersect)
+                newIv ++ missing.map(_ -> common).toMap
+              }
+            }
+          val offsets2 = Intervals.mergeClaims(newIvWidened, nLogPartitions,
             _ => claimedIvs)
           m = m.copy(
             version = np.version + 1,

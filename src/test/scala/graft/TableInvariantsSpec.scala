@@ -120,6 +120,49 @@ class TableInvariantsSpec extends SparkSpec {
       "the aborted epoch's claims must NOT be committed")
   }
 
+  test("rebase under partition-universe growth keeps the intersection " +
+      "fence on the new partitions") {
+    import spark.implicits._
+    import graft.merge.MergeEngine
+    val dir = tmpDir("rebaseGrow")
+    val t = IceTable.create(dir, numBuckets = 4)
+    val c40 = "c" * 40
+    def ev(op: String, seq: Long, path: String, content: String) =
+      ChangeEvent(op, seq, "r", path, c40, "scala", content)
+    val k1 = "p0"
+    val k2 = (1 to 50).map(i => s"p$i").find(k =>
+      t.bucketOf("r", k, 4) != t.bucketOf("r", k1, 4)).get
+    // epoch 0: universe {0,1}, origin-anchored through seq 10
+    MergeEngine.applyEpoch(spark, t, Seq(ev("i", 1L, k1, "a"),
+      ev("i", 2L, k2, "b")).toDS(), 0, nLogPartitions = 2,
+      claimedRange = Some((-1L, 10L)))
+    // epoch 1 WIDENS to 4 partitions (claims (10,11], k1's bucket); an
+    // interleaver at the OLD universe commits (15,16] on k2's bucket
+    val t2 = new IceTable(dir, defaultNumBuckets = 4)
+    t.onBeforeSnapshotCas = () => {
+      t.onBeforeSnapshotCas = () => ()
+      MergeEngine.applyEpoch(spark, t2, Seq(ev("u", 16L, k2, "b2")).toDS(),
+        2, nLogPartitions = 2, claimedRange = Some((15L, 16L)))
+    }
+    val out = MergeEngine.applyEpoch(spark, t,
+      Seq(ev("u", 11L, k1, "a2")).toDS(), 1, nLogPartitions = 4,
+      claimedRange = Some((10L, 11L)))
+    assert(!out.skipped)
+    val ivs = MergeEngine.committedIntervals(t.currentManifest())
+    assert(ivs.keySet == Set(0, 1, 2, 3), "universe widened through rebase")
+    // the NEW partitions must carry the intersection fence (pre-widening
+    // seq 5 and the interleaver's 16), our claim (11), and no more (13)
+    Seq(2, 3).foreach { p =>
+      assert(Intervals.covers(ivs(p), 5L),
+        s"p$p lost the intersection fence: ${ivs(p)}")
+      assert(Intervals.covers(ivs(p), 16L) && Intervals.covers(ivs(p), 11L))
+      assert(!Intervals.covers(ivs(p), 13L))
+    }
+    // horizons advance (claim-fragment-only new partitions would stall at
+    // the parent's completeUntilSeq)
+    assert(t.currentManifest().get.completeUntilSeq == 11L)
+  }
+
   test("table runs end-to-end on a non-file Hadoop FileSystem scheme") {
     // register a custom scheme backed by local disk; every metadata and data
     // operation (staging write, publish rename, snapshot CAS, manifest read,
