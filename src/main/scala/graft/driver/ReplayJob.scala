@@ -140,7 +140,11 @@ object ReplayJob {
     * sec, quarantine rate, watermark lag — the KafkaExtractorStatsTracker
     * counter export, SURVEY.md §2.7) land under `stateDir`; when `viewName`
     * is set the new snapshot re-registers as a Spark SQL view on every
-    * commit (HiveRegistrationPublisher analog, SURVEY.md §2.6). */
+    * commit (HiveRegistrationPublisher analog, SURVEY.md §2.6); when
+    * `catalog` is also given, the table additionally registers ONCE in the
+    * durable cross-session catalog under `viewName` — the publish-time
+    * shared-metastore registration (idempotent; other sessions then
+    * discover the table by name via GraftCatalog.load). */
   def run(
       spark: SparkSession,
       table: IceTable,
@@ -148,7 +152,11 @@ object ReplayJob {
       epochRanges: Seq[(Long, Long, Long)],  // (epochId, loSeq, hiSeq]
       nLogPartitions: Int = 32,
       stateDir: Option[String] = None,
-      viewName: Option[String] = None): Seq[EpochReport] = {
+      viewName: Option[String] = None,
+      catalog: Option[graft.table.GraftCatalog] = None): Seq[EpochReport] = {
+    for (c <- catalog; n <- viewName)
+      c.register(n, table.dir, table.defaultNumBuckets,
+        table.inlineFileThreshold, table.segChunkBuckets)
     epochRanges.map { case (epochId, lo, hi) =>
       val prev = MergeEngine.committedHighs(table.currentManifest())
       val t0 = System.nanoTime()

@@ -327,5 +327,21 @@ class RecoveryAndOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM graft_repo_files")
       .head().getLong(0) == want,
       "fenced replay must still make committed state queryable by name")
+
+    // publish-time DURABLE registration: with a catalog handed in, the run
+    // also registers the table for cross-session discovery (idempotent —
+    // three runs above + this one burn one catalog version)
+    val cat = graft.table.GraftCatalog.create(tmpDir("vcat"))
+    ReplayJob.run(spark, t, id => { val (_, lo, hi) = ranges(id.toInt)
+      slice(lo, hi) }, ranges, nLogPartitions = 2,
+      viewName = Some("graft_repo_files"), catalog = Some(cat))
+    val v0 = cat.currentVersion()
+    ReplayJob.run(spark, t, id => { val (_, lo, hi) = ranges(id.toInt)
+      slice(lo, hi) }, ranges, nLogPartitions = 2,
+      viewName = Some("graft_repo_files"), catalog = Some(cat))
+    assert(cat.currentVersion() == v0, "re-registration is idempotent")
+    val s2 = spark.newSession()
+    assert(cat.loadView(s2, "graft_repo_files").read(s2).count() == want,
+      "a fresh session discovers the published table by name")
   }
 }
