@@ -58,8 +58,6 @@ object Metrics {
     reporters = Nil
   }
 
-  def hasReporters: Boolean = reporters.nonEmpty
-
   /** Emit to every registered reporter; reporter failures are logged and
     * swallowed — observability must never fail the pipeline. `metadata` is
     * by-name so a no-reporter emit builds nothing. */

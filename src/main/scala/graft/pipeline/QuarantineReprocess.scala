@@ -79,7 +79,12 @@ object QuarantineReprocess {
       return Report(Nil, 0L, 0L, 0L, 0L, 0L, 0L, None)
 
     val dirs = pending.map(e => s"$quarantineRoot/epoch=$e")
-    val rows: Dataset[ChangeEvent] = spark.read.parquet(dirs: _*)
+    // EXPLICIT schema: an all-clean epoch's quarantine dir can hold zero
+    // data files (only _SUCCESS) — schema inference would throw where a
+    // no-op is the right answer; the envelope schema is known regardless
+    val rows: Dataset[ChangeEvent] = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[ChangeEvent].schema)
+      .parquet(dirs: _*)
       .select("op", "seq", "repo", "path", "commit", "lang", "content")
       .as[ChangeEvent]
     val nRead = rows.count()
@@ -99,8 +104,16 @@ object QuarantineReprocess {
       val archRoot = new HPath(quarantineRoot, s".reprocessed/run=$epochId")
       fs.mkdirs(archRoot)
       pending.foreach { e =>
-        fs.rename(new HPath(s"$quarantineRoot/epoch=$e"),
-          new HPath(archRoot, s"epoch=$e"))
+        // unique destination: a crashed earlier run that archived this
+        // epoch under the same run id must not make rename nest the dir
+        // (Hadoop rename moves src INTO an existing destination directory)
+        val dst0 = new HPath(archRoot, s"epoch=$e")
+        val dst = if (fs.exists(dst0))
+          new HPath(archRoot, s"epoch=$e-${System.nanoTime()}") else dst0
+        if (!fs.rename(new HPath(s"$quarantineRoot/epoch=$e"), dst))
+          throw new IllegalStateException(
+            s"quarantine archive failed: epoch=$e -> $dst (dir would stay " +
+              "pending and re-run forever; failing loudly instead)")
       }
     }
     val st = out.stats

@@ -20,6 +20,20 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
  *    closed without a server-side primitive, and HDFS-like stores fail the
  *    rename on an existing destination anyway.
  */
+private[graft] object FsIO {
+  /** full small-file read as UTF-8 (snapshot jsons, segments, catalogs) */
+  def readUtf8(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+}
+
 private[graft] object AtomicRename {
 
   /** publish `src` at `dst`, failing (false) when the destination exists */

@@ -268,33 +268,36 @@ object FileStats {
         val conf = new Configuration(false)
         bc.value.foreach { case (k, v) => conf.set(k, v) }
         val exec = java.util.concurrent.Executors.newCachedThreadPool()
-        val out = it.map { f =>
-          val remain = deadlineMs - System.currentTimeMillis()
-          val fut = exec.submit(new java.util.concurrent.Callable[Stats] {
-            def call(): Stats = read(conf, f.path)
-          })
-          try {
-            val st = fut.get(math.max(1L, remain),
-              java.util.concurrent.TimeUnit.MILLISECONDS)
-            f.copy(rows = st.rows, minKey = st.minKey, maxKey = st.maxKey,
-              minSeq = st.minSeq, maxSeq = st.maxSeq)
-          } catch {
-            case e: java.util.concurrent.TimeoutException =>
-              fut.cancel(true)
-              if (ff) throw new IllegalStateException(
-                s"footer read timed out after ${timeoutSec}s: ${f.path}", e)
-              System.err.println(s"[graft] footer read timed out " +
-                s"(${timeoutSec}s): ${f.path}; entry left stats-less")
-              f
-            case e: java.util.concurrent.ExecutionException =>
-              if (ff) throw new IllegalStateException(
-                s"footer read failed: ${f.path}", e.getCause)
-              System.err.println(s"[graft] footer read failed: ${f.path} " +
-                s"(${e.getCause}); entry left stats-less")
-              f
-          }
-        }.toVector // materialize before shutting the executor down
-        exec.shutdownNow()
+        // finally: the failFast throw below must not leak the pool (its
+        // non-daemon threads would pin the executor JVM)
+        val out = try {
+          it.map { f =>
+            val remain = deadlineMs - System.currentTimeMillis()
+            val fut = exec.submit(new java.util.concurrent.Callable[Stats] {
+              def call(): Stats = read(conf, f.path)
+            })
+            try {
+              val st = fut.get(math.max(1L, remain),
+                java.util.concurrent.TimeUnit.MILLISECONDS)
+              f.copy(rows = st.rows, minKey = st.minKey, maxKey = st.maxKey,
+                minSeq = st.minSeq, maxSeq = st.maxSeq)
+            } catch {
+              case e: java.util.concurrent.TimeoutException =>
+                fut.cancel(true)
+                if (ff) throw new IllegalStateException(
+                  s"footer read timed out after ${timeoutSec}s: ${f.path}", e)
+                System.err.println(s"[graft] footer read timed out " +
+                  s"(${timeoutSec}s): ${f.path}; entry left stats-less")
+                f
+              case e: java.util.concurrent.ExecutionException =>
+                if (ff) throw new IllegalStateException(
+                  s"footer read failed: ${f.path}", e.getCause)
+                System.err.println(s"[graft] footer read failed: ${f.path} " +
+                  s"(${e.getCause}); entry left stats-less")
+                f
+            }
+          }.toVector // materialize before shutting the executor down
+        } finally exec.shutdownNow()
         out.iterator
       }.collect().toSeq // collect preserves slice order = input order
     } finally bc.destroy()

@@ -58,17 +58,8 @@ final class GraftCatalog(val dir: String) {
   def tables(): Map[String, Entry] = {
     val v = currentVersion()
     if (v < 0) Map.empty
-    else {
-      val in = fs.open(catPath(v))
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Serialization.read[Seq[Entry]](new String(bytes.toByteArray, "UTF-8"))
-          .map(e => e.name -> e).toMap
-      } finally in.close()
-    }
+    else Serialization.read[Seq[Entry]](FsIO.readUtf8(fs, catPath(v)))
+      .map(e => e.name -> e).toMap
   }
 
   def entry(name: String): Option[Entry] = tables().get(name)

@@ -89,11 +89,15 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     if (c > 0) c
     else {
       val v = currentVersion()
-      val n =
-        if (v < 0) defaultNumBuckets
-        else bucketCountOf(Some(readManifestHeader(v)))
-      cachedBucketCount = n
-      n
+      // an EMPTY table's default is NOT cached: another process may create
+      // the table with a different width before this handle's first commit,
+      // and a cached default would mis-route bucketOf/bucketCol forever
+      if (v < 0) defaultNumBuckets
+      else {
+        val n = bucketCountOf(Some(readManifestHeader(v)))
+        cachedBucketCount = n
+        n
+      }
     }
   }
   @volatile private var cachedBucketCount: Int = -1
@@ -154,16 +158,7 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
   private def snapPath(version: Long): HPath =
     new HPath(metaDir, f"snap-$version%08d.json")
 
-  private def readUtf8(p: HPath): String = {
-    val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, "UTF-8")
-    } finally in.close()
-  }
+  private def readUtf8(p: HPath): String = FsIO.readUtf8(fs, p)
 
   /** Parse a snapshot's json WITHOUT resolving file-list segments: header
     * fields only (commit time, offsets, stats, schema/bucket ids, segment
@@ -213,6 +208,16 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
         if (!f.exists(dest))
           throw new IllegalStateException(s"segment publish failed: $dest")
       }
+    } else {
+      // ADOPTING an existing segment (a crashed commit's strand, or a chunk
+      // an older snapshot once referenced): refresh its mtime so the orphan
+      // sweep's grace window restarts — without the touch, an adopted
+      // segment can look hours-old and unreferenced to a sweep whose
+      // listing predates this commit's CAS, and get deleted out from under
+      // the NEW snapshot. Best-effort (not every scheme supports setTimes);
+      // commit() re-verifies referenced segments after the CAS regardless.
+      try f.setTimes(dest, System.currentTimeMillis(), -1L)
+      catch { case _: Exception => () }
     }
     dest.toString
   }
@@ -258,18 +263,18 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     // so commit metadata IO is O(touched buckets) at any table size.
     // Incoming fileSegs are always ignored and re-derived from `files` —
     // a parent.copy(...) can never smuggle stale references in.
+    val segChunks: Seq[(String, Seq[DataFileEntry])] =
+      if (stamped.files.size <= inlineFileThreshold) Nil
+      else stamped.files
+        .sortBy(e => (e.bucket, e.path))
+        .groupBy(_.bucket / segChunkBuckets).toSeq.sortBy(_._1)
+        .map { case (_, chunk) =>
+          val sorted = chunk.sortBy(e => (e.bucket, e.path))
+          writeFileSeg(f, sorted) -> sorted
+        }
     val stored =
-      if (stamped.files.size <= inlineFileThreshold)
-        stamped.copy(fileSegs = Nil)
-      else {
-        val segs = stamped.files
-          .sortBy(e => (e.bucket, e.path))
-          .groupBy(_.bucket / segChunkBuckets).toSeq.sortBy(_._1)
-          .map { case (_, chunk) =>
-            writeFileSeg(f, chunk.sortBy(e => (e.bucket, e.path)))
-          }
-        stamped.copy(files = Nil, fileSegs = segs)
-      }
+      if (segChunks.isEmpty) stamped.copy(fileSegs = Nil)
+      else stamped.copy(files = Nil, fileSegs = segChunks.map(_._1))
     // test seam: lets specs deterministically interleave a concurrent
     // winner INSIDE the race window (segments published, snapshot not yet
     // CAS'd) — the window that strands fseg files for the orphan sweep
@@ -284,6 +289,19 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
         s"concurrent writer detected: snapshot ${m.version} already committed")
     }
     cachedBucketCount = bucketCountOf(Some(stored))
+    // POST-CAS segment re-verify: a concurrent orphan sweep whose listing
+    // predates this CAS could have deleted an ADOPTED (pre-existing,
+    // stale-mtime) segment between our reuse check and the snapshot rename.
+    // The snapshot is listed now, so re-publishing the missing chunk
+    // (content-addressed: same bytes, same path) permanently heals the
+    // race; any sweep listing from here on sees the reference.
+    segChunks.foreach { case (p, chunk) =>
+      if (!f.exists(new HPath(p))) {
+        System.err.println(s"[graft] referenced segment vanished during " +
+          s"commit (concurrent orphan sweep?): $p — re-publishing")
+        writeFileSeg(f, chunk)
+      }
+    }
     // return the RESOLVED shape (files populated + segment refs), matching
     // what readManifest of this version yields
     stored.copy(files =
@@ -335,8 +353,15 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
   def history(): Seq[SnapshotInfo] =
     listVersions().map { v =>
       // header-only: a metadata question must not resolve segment files
-      // (O(versions × files) driver IO on a long-history segmented table)
-      val m = readManifestHeader(v)
+      // (O(versions × files) driver IO on a long-history segmented table).
+      // LEGACY exception: a pre-stamping SEGMENTED manifest (fileCount=-1,
+      // fileSegs set) carries no summary and an empty inline `files` — for
+      // those versions only, resolve the segments rather than reporting
+      // zeros (old snapshots heal to stamped headers as retention expires
+      // them; every new commit stamps the summary).
+      val h = readManifestHeader(v)
+      val m = if (h.fileCount < 0 && h.fileSegs.nonEmpty) resolveFiles(h)
+              else h
       SnapshotInfo(m.version, m.epochId, m.commitTimeMillis, m.schemaId,
         bucketCountOf(Some(m)),
         if (m.fileCount >= 0) m.fileCount else m.files.size,
@@ -525,11 +550,36 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     val referencedSegNames: Set[String] = versions
       .flatMap(v => headers(v).fileSegs).map(p => new HPath(p).getName).toSet
     val now = System.currentTimeMillis()
-    metaLs.iterator
+    val orphanCandidates = metaLs.iterator
       .filter(s => s.isFile && s.getPath.getName.startsWith("fseg-"))
       .filter(s => !referencedSegNames.contains(s.getPath.getName))
       .filter(s => now - s.getModificationTime >= orphanSegGraceMillis)
-      .foreach(s => f.delete(s.getPath, false))
+      .toSeq
+    if (orphanCandidates.nonEmpty) {
+      // PRE-DELETE double-check against the adoption race: a commit that
+      // ADOPTS a stale strand (write-if-absent reuse) may have CAS'd after
+      // our header pass. Re-list for NEW snapshot versions and exclude
+      // their referenced segments; also re-read each candidate's mtime —
+      // the adopting commit touches it before its CAS, so a fresh mtime
+      // means "claimed, not orphaned". (commit() additionally re-verifies
+      // its segments post-CAS and re-publishes, so even a loss here heals.)
+      val known = versions.toSet
+      val newRefs: Set[String] = listVersions().filterNot(known)
+        .flatMap(v =>
+          try readManifestHeader(v).fileSegs
+          catch { case _: java.io.FileNotFoundException => Nil })
+        .map(p => new HPath(p).getName).toSet
+      val now2 = System.currentTimeMillis()
+      orphanCandidates
+        .filter(s => !newRefs.contains(s.getPath.getName))
+        .foreach { s =>
+          val fresh =
+            try now2 - f.getFileStatus(s.getPath).getModificationTime >=
+              orphanSegGraceMillis
+            catch { case _: java.io.FileNotFoundException => false }
+          if (fresh) f.delete(s.getPath, false)
+        }
+    }
     if (expired.isEmpty) return (0, 0)
     // resolve file lists: STRICT for retained versions (a retained snapshot
     // with missing segments is real corruption), TOLERANT for expired ones

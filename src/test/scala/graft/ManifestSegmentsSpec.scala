@@ -208,6 +208,76 @@ class ManifestSegmentsSpec extends SparkSpec {
     assert(t.readAt(spark, 1L).count() > 0)
   }
 
+  test("commit re-publishes a referenced segment deleted mid-window " +
+      "(orphan-sweep race); adopted segments get fresh mtimes") {
+    val dir = tmpDir("msegrace")
+    val t = IceTable.create(dir, numBuckets = 4, inlineFileThreshold = 0,
+      segChunkBuckets = 2)
+    ReplayJob.replayGenerated(spark, t, spec.copy(nEvents = 500),
+      nEpochs = 1, nLogPartitions = 2)
+    val before = sha(t)
+    // next commit: a "sweep" deletes EVERY just-published/adopted segment
+    // inside the window between segment publish and the snapshot CAS — the
+    // post-CAS re-verify must re-publish them all
+    t.onBeforeSnapshotCas = () => {
+      t.onBeforeSnapshotCas = () => ()
+      segFiles(dir).foreach(n =>
+        Files.delete(Paths.get(s"$dir/meta/$n")))
+    }
+    val hit = t.read(spark).select("repo", "path").head()
+    MergeEngine.applyEpoch(spark, t, Seq(ChangeEvent("u", 500L,
+      hit.getString(0), hit.getString(1), "c" * 40, "scala", "HEAL")).toDS(),
+      7, nLogPartitions = 2, claimedRange = Some((499L, 500L)))
+    val m = t.currentManifest().get
+    assert(m.fileSegs.nonEmpty)
+    m.fileSegs.foreach(p => assert(Files.exists(Paths.get(
+      new org.apache.hadoop.fs.Path(p).toUri.getPath)),
+      s"referenced segment must be re-published after the sweep race: $p"))
+    // the table reads cleanly and reflects the commit
+    val after = sha(t)
+    assert(after((hit.getString(0), hit.getString(1))) !=
+      before((hit.getString(0), hit.getString(1))))
+    // adoption path: a NO-CHANGE chunk reused by the next commit gets its
+    // mtime refreshed, so a sweep's grace window restarts
+    val segName = m.fileSegs.map(p => new org.apache.hadoop.fs.Path(p))
+      .head.toUri.getPath
+    val old = 1000000L // epoch-1970 + 1000s: ancient
+    Files.setLastModifiedTime(Paths.get(segName),
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    MergeEngine.applyEpoch(spark, t, Seq(ChangeEvent("u", 501L,
+      hit.getString(0), hit.getString(1), "c" * 40, "scala", "HEAL2")).toDS(),
+      8, nLogPartitions = 2, claimedRange = Some((500L, 501L)))
+    val m2 = t.currentManifest().get
+    val adopted = m2.fileSegs.map(p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath).filter(_ == segName)
+    adopted.foreach { p =>
+      assert(Files.getLastModifiedTime(Paths.get(p)).toMillis > old,
+        "adopted segment must carry a refreshed mtime")
+    }
+  }
+
+  test("history reports true counts for LEGACY segmented manifests " +
+      "(fileCount unstamped)") {
+    val dir = tmpDir("mlegacyhist")
+    val t = IceTable.create(dir, numBuckets = 4, inlineFileThreshold = 0,
+      segChunkBuckets = 2)
+    ReplayJob.replayGenerated(spark, t, spec.copy(nEvents = 500),
+      nEpochs = 1, nLogPartitions = 2)
+    val m = t.currentManifest().get
+    val trueFiles = m.files.size
+    assert(trueFiles > 0)
+    // strip the r5 header summary (simulate a pre-r5 segmented manifest)
+    val p = Paths.get(f"$dir/meta/snap-${m.version}%08d.json")
+    val legacy = new String(Files.readAllBytes(p), "UTF-8")
+      .replaceAll(""""fileCount"\s*:\s*\d+""", "\"fileCount\" : -1")
+      .replaceAll(""""dataBytes"\s*:\s*\d+""", "\"dataBytes\" : -1")
+    Files.delete(p); Files.write(p, legacy.getBytes("UTF-8"))
+    val h = t.history().last
+    assert(h.files == trueFiles,
+      s"legacy segmented history must resolve, not report 0: $h")
+    assert(h.bytes > 0)
+  }
+
   test("small tables stay inline (no segment indirection)") {
     val dir = tmpDir("minline")
     val t = IceTable.create(dir, numBuckets = 4) // default threshold 1024

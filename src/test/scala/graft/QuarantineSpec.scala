@@ -130,6 +130,26 @@ class QuarantineSpec extends SparkSpec {
     assert(rep3.outcome.isEmpty && rep3.rowsRead == 0)
   }
 
+  test("reprocess is a no-op over file-less quarantine dirs (the normal " +
+      "all-clean-epoch state)") {
+    import graft.pipeline.QuarantineReprocess
+    val t = IceTable.create(tmpDir("qnofiles"), numBuckets = 2)
+    val q = tmpDir("qrootnf")
+    // an all-clean epoch's overwrite-mode quarantine write can leave a dir
+    // holding only _SUCCESS — schema inference would throw; reprocess must
+    // treat it as zero pending rows and archive it
+    assert(new java.io.File(s"$q/epoch=0").mkdirs())
+    assert(new java.io.File(s"$q/epoch=0/_SUCCESS").createNewFile())
+    val rep = QuarantineReprocess.run(spark, t, q, epochId = 10,
+      nLogPartitions = 2)
+    assert(rep.consumedEpochs == Seq(0L) && rep.rowsRead == 0)
+    assert(rep.outcome.exists(_.skipped) && rep.applied == 0)
+    // the consumed dir is archived; only the run's OWN (empty) quarantine
+    // output remains pending — bounded at one dir per run, never growth
+    assert(QuarantineReprocess.pendingEpochs(spark, q) == Seq(10L),
+      "the consumed dir must be archived, not re-scanned forever")
+  }
+
   test("Fail-severity task policy aborts the epoch: no snapshot committed") {
     val t = IceTable.create(tmpDir("qtab2"), numBuckets = 4)
     val strict = Seq(TaskPolicies.RowCountReconciliation(),

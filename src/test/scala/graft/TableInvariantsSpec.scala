@@ -120,6 +120,22 @@ class TableInvariantsSpec extends SparkSpec {
       "the aborted epoch's claims must NOT be committed")
   }
 
+  test("an empty-table handle never caches its construction default " +
+      "bucket count") {
+    import spark.implicits._
+    val dir = tmpDir("nbcache")
+    val a = new IceTable(dir, defaultNumBuckets = 32)
+    assert(a.numBuckets == 32, "empty table answers with the default")
+    // ANOTHER process creates the table 8 wide and commits first
+    val b = IceTable.create(dir, numBuckets = 8)
+    graft.merge.MergeEngine.applyEpoch(spark, b,
+      Seq(ChangeEvent("i", 1L, "r", "p", "c" * 40, "scala", "v")).toDS(), 0,
+      nLogPartitions = 2, claimedRange = Some((0L, 1L)))
+    assert(a.numBuckets == 8,
+      "the pre-creation handle must adopt the committed width, not a " +
+        "cached default")
+  }
+
   test("rebase under partition-universe growth keeps the intersection " +
       "fence on the new partitions") {
     import spark.implicits._
