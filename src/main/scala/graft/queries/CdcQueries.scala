@@ -161,6 +161,52 @@ object CdcQueries {
         .orderBy("repo", "path")
     }),
 
+    "c6_cdc_changes" -> ((s, d) => {
+      // CHANGE DATA FEED between two committed snapshots: replay the
+      // derived log's first half into version A, its second half into
+      // version B, then emit IceTable.changesBetween(A, B) — the
+      // version-diff CDC stream a downstream consumer incrementally syncs
+      // from (only files that DIFFER between the two manifests are read).
+      // Two-step oracle: both raw states export to parquet and DuckDB
+      // re-derives the diff (liveness rules incl. tombstones) independently
+      // of the Spark join.
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-engine-q-" +
+        s"${ProcessHandle.current().pid()}-" +
+        Integer.toHexString(d.hashCode) + "-cdf"
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      registerCleanup(tmp)
+      val table = IceTable.create(s"$tmp/table", numBuckets = 16)
+      val log = deriveLog(s, d).as[ChangeEvent]
+      val bounds = log.agg(min($"seq"), max($"seq")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val n = hi - lo + 1
+      val nEpochs = 4
+      val per = math.max(1L, n / nEpochs)
+      val ranges = (0 until nEpochs).map { e =>
+        (e.toLong, lo + e * per - 1,
+          if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+      }
+      def loader(id: Long): Dataset[ChangeEvent] = {
+        val (_, l, h) = ranges(id.toInt)
+        log.filter($"seq" > l && $"seq" <= h)
+      }
+      ReplayJob.run(s, table, loader, ranges.take(2), nLogPartitions = 16)
+      val vA = table.currentVersion()
+      ReplayJob.run(s, table, loader, ranges.drop(2), nLogPartitions = 16)
+      val vB = table.currentVersion()
+      def rawState(v: Long): DataFrame = {
+        val m = table.readManifest(v)
+        table.readFiles(s, m.files, m.schemaId)
+          .select("repo", "path", "commit", "lang", "content", "contentSha",
+            "lastSeq", "deleted")
+      }
+      OracleAux.export(rawState(vA), "c6_state_a")
+      OracleAux.export(rawState(vB), "c6_state_b")
+      table.changesBetween(s, vA, vB).orderBy("repo", "path")
+    }),
+
     "c4_sessionize" -> ((s, d) => {
       // session = events of a user with <30min gaps (lag + running count)
       import org.apache.spark.sql.expressions.Window
@@ -203,6 +249,42 @@ object CdcQueries {
          WHERE rn = 1 ORDER BY user_id""",
     "c2_cdc_fold" -> foldSql,
     "c3_cdc_engine_replay" -> foldSql,
+    "c6_cdc_changes" ->
+      """WITH a AS (SELECT * FROM read_parquet('__AUX__/.aux/c6_state_a/*.parquet')),
+           b AS (SELECT * FROM read_parquet('__AUX__/.aux/c6_state_b/*.parquet')),
+           j AS (
+             SELECT coalesce(a.repo, b.repo) AS repo,
+                    coalesce(a.path, b.path) AS path,
+                    a.lastSeq AS o_seq, coalesce(a.deleted, FALSE) AS o_del,
+                    b.lastSeq AS n_seq, coalesce(b.deleted, FALSE) AS n_del,
+                    a."commit" AS o_commit, a.lang AS o_lang,
+                    a.content AS o_content, a.contentSha AS o_sha,
+                    b."commit" AS n_commit, b.lang AS n_lang,
+                    b.content AS n_content, b.contentSha AS n_sha
+             FROM a FULL JOIN b ON a.repo = b.repo AND a.path = b.path),
+           c AS (
+             SELECT CASE
+                 WHEN (o_seq IS NULL OR o_del)
+                      AND n_seq IS NOT NULL AND NOT n_del THEN 'insert'
+                 WHEN o_seq IS NOT NULL AND NOT o_del
+                      AND n_seq IS NOT NULL AND NOT n_del
+                      AND o_seq <> n_seq THEN 'update'
+                 WHEN o_seq IS NOT NULL AND NOT o_del
+                      AND (n_seq IS NULL OR n_del) THEN 'delete'
+               END AS change_type, * FROM j)
+         SELECT change_type, repo, path,
+                CASE WHEN change_type = 'delete' THEN o_commit
+                     ELSE n_commit END AS "commit",
+                CASE WHEN change_type = 'delete' THEN o_lang
+                     ELSE n_lang END AS lang,
+                CASE WHEN change_type = 'delete' THEN o_content
+                     ELSE n_content END AS content,
+                CASE WHEN change_type = 'delete' THEN o_sha
+                     ELSE n_sha END AS contentSha,
+                n_seq AS seq
+         FROM c WHERE change_type IS NOT NULL
+         ORDER BY repo, path""",
+
     "c4_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, event_id,

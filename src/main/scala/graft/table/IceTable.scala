@@ -499,6 +499,100 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
           .filter(col("lastSeq") > sinceSeq)
     }
 
+  /** Change data feed between two snapshot versions (the table-format
+    * analog of the reference's CDC distribution role — downstream consumers
+    * incrementally sync from committed snapshots instead of re-reading the
+    * table; Iceberg's incremental scan / Delta's CDF shape). Emits one row
+    * per key whose USER-VISIBLE state differs between `fromVersion` and
+    * `toVersion`:
+    *
+    *   - `insert`  — not live before, live after (incl. re-insert over a
+    *                 tombstone); NEW image.
+    *   - `update`  — live on both sides with a different applied seq
+    *                 (`lastSeq` identifies the applied version of a key, so
+    *                 a compaction/no-op rewrite that preserves state is NOT
+    *                 a change); NEW image (postimage).
+    *   - `delete`  — live before, tombstoned after; OLD image (preimage),
+    *                 `seq` = the tombstone's seq.
+    *
+    * Scale shape: only files whose PATH differs between the two manifests
+    * are read — data files are immutable and content-addressed by path, so
+    * a file listed in both snapshots cannot contain a changed row (the
+    * merge rewrites a touched bucket's non-skipped files; carried-forward
+    * files are proven untouched). The diff is therefore O(changed buckets),
+    * not O(table): at 100 TB a "changes since yesterday" feed reads the
+    * files recent epochs rewrote plus their direct predecessors, nothing
+    * else. When both versions share a bucket layout the two sides are
+    * bucket-aligned DSv2 scans joined on (bucket, repo, path) — under the
+    * storage-partitioned-join confs (MergeEngine's scoped set:
+    * `spark.sql.sources.v2.bucketing.{enabled,shuffle.enabled}`,
+    * `requireAllClusterKeysForCoPartition=false`) the full-outer diff runs
+    * with ZERO exchanges; without them Catalyst falls back to a hash
+    * shuffle of just the changed-bucket rows. Tombstones purged below the
+    * safe horizon diff as (old tombstone, absent) — not a user-visible
+    * change, correctly emitted as nothing.
+    *
+    * Ref: gobblin-iceberg/.../IcebergMetadataWriter.java:349-383 (snapshot
+    * metadata as the incremental-consumption contract). */
+  def changesBetween(spark: SparkSession, fromVersion: Long,
+                     toVersion: Long,
+                     bucketAligned: Boolean = true): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val mNew = readManifest(toVersion)
+    val target = mNew.schemaId
+    val nonKey = SchemaRegistry.schemaFor(target).columns.map(_.name)
+      .filterNot(Set("repo", "path"))
+    def emptyChanges: DataFrame =
+      readFiles(spark, Nil, target).select(
+        lit("").as("change_type") +: col("repo") +: col("path") +:
+          nonKey.map(col) :+ lit(0L).as("seq"): _*)
+        .filter(lit(false))
+    if (fromVersion == toVersion) return emptyChanges
+    val mOld = readManifest(fromVersion)
+    val oldPaths = mOld.files.map(_.path).toSet
+    val newPaths = mNew.files.map(_.path).toSet
+    // immutable files: same path ⇒ same bytes ⇒ no changed rows inside
+    val oldOnly = mOld.files.filterNot(f => newPaths(f.path))
+    val newOnly = mNew.files.filterNot(f => oldPaths(f.path))
+    if (oldOnly.isEmpty && newOnly.isEmpty) return emptyChanges
+    val sameLayout = bucketCountOf(Some(mOld)) == bucketCountOf(Some(mNew))
+    val aligned = bucketAligned && sameLayout
+    // one partition-value universe for BOTH sides so the key-grouped
+    // layouts match exactly (empty partitions fill the gaps)
+    val buckets = (oldOnly ++ newOnly).map(_.bucket).distinct.sorted
+    def side(files: Seq[DataFileEntry], tag: String): DataFrame = {
+      val raw =
+        if (aligned && buckets.nonEmpty)
+          readFilesBucketAligned(spark, files, target, Some(buckets))
+        else readFiles(spark, files, target)
+      val keyCols =
+        if (aligned) Seq(col("bucket"), col("repo"), col("path"))
+        else Seq(col("repo"), col("path"))
+      raw.select(keyCols ++ Seq(
+        struct(nonKey.map(col): _*).as(s"_${tag}_img"),
+        col("lastSeq").as(s"_${tag}_seq"),
+        coalesce(col("deleted"), lit(false)).as(s"_${tag}_del")): _*)
+    }
+    val joinKeys = if (aligned) Seq("bucket", "repo", "path")
+                   else Seq("repo", "path")
+    val j = side(oldOnly, "o").join(side(newOnly, "n"), joinKeys, "full_outer")
+    // presence = the side's lastSeq survived the outer join (every written
+    // row carries lastSeq; the missing side is all-NULL)
+    val oldLive = col("_o_seq").isNotNull && !col("_o_del")
+    val newLive = col("_n_seq").isNotNull && !col("_n_del")
+    val ct = when(!oldLive && newLive, lit("insert"))
+      .when(oldLive && newLive && col("_o_seq") =!= col("_n_seq"),
+        lit("update"))
+      .when(oldLive && !newLive, lit("delete"))
+    j.withColumn("change_type", ct)
+      .filter(col("change_type").isNotNull)
+      .withColumn("_img", when(col("change_type") === "delete",
+        col("_o_img")).otherwise(col("_n_img")))
+      .select(col("change_type") +: col("repo") +: col("path") +:
+        nonKey.map(n => col(s"_img.$n").as(n)) :+ col("_n_seq").as("seq"): _*)
+  }
+
   /** Retention (SURVEY.md §2.9 cleaner analog; the reference's policy-driven
     * retention module, gobblin-data-management/.../retention/ version
     * policies — e.g. dataset/CleanableIcebergDataset.java): expire snapshots
