@@ -166,6 +166,19 @@ object BucketScan {
    */
   def read(spark: SparkSession, files: Seq[DataFileEntry],
            buckets: Seq[Int], targetSchemaId: Int): DataFrame = {
+    val (parts, factory) = scanParts(spark, files, buckets, targetSchemaId)
+    GraftSqlBridge.dataFrameFromV2Table(spark,
+      new GraftBucketTable(canonicalSchema(targetSchemaId), parts, factory))
+  }
+
+  /** The (input partitions, reader factory) pair behind [[read]] — also the
+    * building block for the SQL catalog's table scans (GraftSparkCatalog),
+    * which wrap the same canonical-row readers in a user-view projection.
+    * Rows come out in the canonical layout
+    * `[target cols..., bucket, lastSeq, deleted]`. */
+  def scanParts(spark: SparkSession, files: Seq[DataFileEntry],
+                buckets: Seq[Int], targetSchemaId: Int)
+      : (Array[InputPartition], PartitionReaderFactory) = {
     require(buckets.nonEmpty, "bucket-aligned scan needs at least one bucket")
     val sortedBuckets = buckets.distinct.sorted
     val byBucket = files.groupBy(_.bucket)
@@ -197,8 +210,6 @@ object BucketScan {
         .map(f => FileSpec(f.path, len(f), f.schemaId)))
         : InputPartition
     }.toArray
-    GraftSqlBridge.dataFrameFromV2Table(spark,
-      new GraftBucketTable(canonicalSchema(targetSchemaId), parts,
-        new BucketReaderFactory(readers, projections)))
+    (parts, new BucketReaderFactory(readers, projections))
   }
 }
