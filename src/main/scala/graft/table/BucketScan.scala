@@ -82,6 +82,46 @@ object BucketScan {
 
   private def sparkType(t: String): DataType = SchemaRegistry.sparkType(t)
 
+  /** Rewrite pushdown filters from TARGET column names to one vintage's
+    * WRITTEN names (colId-matched). A leaf referencing a column the vintage
+    * lacks (added later) or stores at a different type (widened since)
+    * cannot be pushed for that vintage and is DROPPED — always safe under
+    * And (weakens to a superset) and handled both-or-none under Or; Not is
+    * never pushed (dropping inside a negation would strengthen it). The
+    * scan contract stays: pushed filters are IO hints, the engine/Spark
+    * re-evaluates them on returned rows. */
+  private[table] def translateFilters(
+      fs: Seq[org.apache.spark.sql.sources.Filter], target: SchemaDef,
+      vintage: SchemaDef): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val old = vintage.byColId
+    val mapped: Map[String, String] = target.columns.flatMap { tc =>
+      old.get(tc.colId).collect {
+        case oc if oc.dataType == tc.dataType => tc.name -> oc.name
+      }
+    }.toMap
+    def tr(f: Filter): Option[Filter] = f match {
+      case And(l, r) => (tr(l), tr(r)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b) // a surviving conjunct alone is still sound
+      }
+      case Or(l, r) => for { a <- tr(l); b <- tr(r) } yield Or(a, b)
+      case EqualTo(a, v) => mapped.get(a).map(EqualTo(_, v))
+      case EqualNullSafe(a, v) => mapped.get(a).map(EqualNullSafe(_, v))
+      case GreaterThan(a, v) => mapped.get(a).map(GreaterThan(_, v))
+      case GreaterThanOrEqual(a, v) =>
+        mapped.get(a).map(GreaterThanOrEqual(_, v))
+      case LessThan(a, v) => mapped.get(a).map(LessThan(_, v))
+      case LessThanOrEqual(a, v) => mapped.get(a).map(LessThanOrEqual(_, v))
+      case In(a, vs) => mapped.get(a).map(In(_, vs))
+      case IsNull(a) => mapped.get(a).map(IsNull(_))
+      case IsNotNull(a) => mapped.get(a).map(IsNotNull(_))
+      case StringStartsWith(a, v) => mapped.get(a).map(StringStartsWith(_, v))
+      case _ => None // Not / unknown leaves: never pushed
+    }
+    fs.flatMap(tr)
+  }
+
   /** the parquet file schema a given vintage was written with */
   private def fileReadSchema(vintage: SchemaDef): StructType =
     StructType(vintage.columns.map(c =>
@@ -175,9 +215,20 @@ object BucketScan {
     * building block for the SQL catalog's table scans (GraftSparkCatalog),
     * which wrap the same canonical-row readers in a user-view projection.
     * Rows come out in the canonical layout
-    * `[target cols..., bucket, lastSeq, deleted]`. */
+    * `[target cols..., bucket, lastSeq, deleted]`.
+    *
+    * `requiredCols` prunes the TARGET column set (canonical layout becomes
+    * `[required cols..., bucket, lastSeq, deleted]`) AND the per-vintage
+    * parquet read schemas (matched by colId) — a 2-column SQL projection
+    * decodes 2 columns, not the table. `pushedFilters` (in target column
+    * names) are translated per vintage (rename-aware via colId; dropped
+    * where the vintage lacks the column or widened its type) and pushed
+    * into the parquet readers for row-group / page / bloom skipping —
+    * best-effort IO pruning only, callers still evaluate the predicates. */
   def scanParts(spark: SparkSession, files: Seq[DataFileEntry],
-                buckets: Seq[Int], targetSchemaId: Int)
+                buckets: Seq[Int], targetSchemaId: Int,
+                requiredCols: Option[Seq[String]] = None,
+                pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : (Array[InputPartition], PartitionReaderFactory) = {
     require(buckets.nonEmpty, "bucket-aligned scan needs at least one bucket")
     val sortedBuckets = buckets.distinct.sorted
@@ -185,15 +236,27 @@ object BucketScan {
     require(byBucket.keySet.subsetOf(sortedBuckets.toSet),
       s"files outside the declared bucket set: " +
         s"${byBucket.keySet -- sortedBuckets.toSet}")
-    val target = SchemaRegistry.schemaFor(targetSchemaId)
+    val fullTarget = SchemaRegistry.schemaFor(targetSchemaId)
+    val target = requiredCols match {
+      case Some(names) =>
+        val keep = names.toSet
+        SchemaDef(fullTarget.id, fullTarget.columns.filter(c => keep(c.name)))
+      case None => fullTarget
+    }
+    val neededIds = target.columns.map(_.colId).toSet
+    def pruneVintage(v: SchemaDef): SchemaDef =
+      if (requiredCols.isEmpty) v
+      else SchemaDef(v.id, v.columns.filter(c => neededIds(c.colId)))
     val vintages = files.map(_.schemaId).distinct
     val readers = vintages.map { sid =>
+      val vintage = SchemaRegistry.schemaFor(sid)
       sid -> GraftSqlBridge.parquetReaderFunction(spark,
-        fileReadSchema(SchemaRegistry.schemaFor(sid)),
-        StructType(Seq(StructField("bucket", IntegerType, nullable = false))))
+        fileReadSchema(pruneVintage(vintage)),
+        StructType(Seq(StructField("bucket", IntegerType, nullable = false))),
+        translateFilters(pushedFilters, target, vintage))
     }.toMap
     val projections = vintages.map { sid =>
-      sid -> evolveExprs(SchemaRegistry.schemaFor(sid), target)
+      sid -> evolveExprs(pruneVintage(SchemaRegistry.schemaFor(sid)), target)
     }.toMap
     // resolve unknown lengths (legacy manifests record bytes = -1) — a
     // PartitionedFile's length bounds the read, so 0 would read nothing

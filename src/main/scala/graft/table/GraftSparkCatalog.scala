@@ -150,16 +150,51 @@ private[table] final class GraftSqlTable(tableName: String, t: IceTable,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
+      private var required: Option[Seq[String]] = None
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema.fieldNames.toSeq)
+
+      /** parquet skipping is BEST-EFFORT (row groups / pages / blooms):
+        * every filter is handed to the readers as an IO hint AND returned
+        * here as a post-scan filter, so correctness never depends on the
+        * push (the stock parquet V2 source's contract). */
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
+
       override def build(): Scan =
         new GraftUserScan(userSchema, canonical,
-          m.map(_.files).getOrElse(Nil), schemaId, tableName)
+          m.map(_.files).getOrElse(Nil), schemaId, tableName, required,
+          pushed.toSeq)
     }
 }
 
-private final class GraftUserScan(userSchema: StructType,
-    canonical: StructType, files: Seq[graft.model.DataFileEntry],
-    schemaId: Int, tableName: String) extends Scan with Batch {
+private final class GraftUserScan(fullUserSchema: StructType,
+    fullCanonical: StructType, files: Seq[graft.model.DataFileEntry],
+    schemaId: Int, tableName: String, requiredCols: Option[Seq[String]],
+    filters: Seq[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
+
+  // pruned layouts preserve the ORIGINAL column order (scanParts prunes by
+  // filtering the target schema, so reader output matches these exactly)
+  private val userSchema = requiredCols match {
+    case Some(names) =>
+      val keep = names.toSet
+      StructType(fullUserSchema.fields.filter(f => keep(f.name)))
+    case None => fullUserSchema
+  }
+  private val canonical =
+    StructType(userSchema.fields ++ fullCanonical.takeRight(3))
 
   // one partition per OCCUPIED bucket (an empty table scans one empty
   // partition — BucketScan wants a non-empty bucket universe)
@@ -169,7 +204,8 @@ private final class GraftUserScan(userSchema: StructType,
       case Seq() => Seq(0)
       case bs => bs
     }
-    BucketScan.scanParts(spark, files, buckets, schemaId)
+    BucketScan.scanParts(spark, files, buckets, schemaId,
+      requiredCols.map(_ => userSchema.fieldNames.toSeq), filters)
   }
 
   override def readSchema(): StructType = userSchema
@@ -178,7 +214,10 @@ private final class GraftUserScan(userSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new UserViewFactory(innerFactory, canonical)
   override def description(): String =
-    s"graft-table-scan[$tableName, ${files.size} files]"
+    s"graft-table-scan[$tableName, ${files.size} files, " +
+      s"cols=${userSchema.fieldNames.mkString(",")}" +
+      (if (filters.nonEmpty) s", pushed=${filters.mkString(",")}" else "") +
+      "]"
 }
 
 /** Wraps the canonical-row readers in the user view: rows with a set

@@ -88,6 +88,20 @@ object GraftSqlBridge {
       spark: SparkSession,
       dataSchema: StructType,
       partitionSchema: StructType)
+      : execution.datasources.PartitionedFile => Iterator[InternalRow] =
+    parquetReaderFunction(spark, dataSchema, partitionSchema, Nil)
+
+  /** Variant with parquet-level filter pushdown: `filters` (in terms of
+    * `dataSchema`'s column names) drive row-group / page / bloom skipping
+    * inside the parquet reader. Purely an IO optimization — parquet
+    * skipping is best-effort, so callers must still evaluate the
+    * predicates on the returned rows (Spark's V2 pushdown contract when
+    * `pushFilters` returns the filters back as post-scan filters). */
+  def parquetReaderFunction(
+      spark: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      filters: Seq[sources.Filter])
       : execution.datasources.PartitionedFile => Iterator[InternalRow] = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     new execution.datasources.parquet.ParquetFileFormat()
@@ -96,7 +110,7 @@ object GraftSqlBridge {
         dataSchema = dataSchema,
         partitionSchema = partitionSchema,
         requiredSchema = dataSchema,
-        filters = Nil,
+        filters = filters,
         options = Map(
           execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
         hadoopConf = cs.sessionState.newHadoopConf())

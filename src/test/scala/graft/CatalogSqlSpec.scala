@@ -115,6 +115,30 @@ class CatalogSqlSpec extends SparkSpec {
     }
   }
 
+  test("column pruning and filter pushdown reach the catalog scan") {
+    val catDir = tmpDir("gcatsql5")
+    val t = IceTable.create(tmpDir("gcattab5"), numBuckets = 4)
+    apply(t, 0, 0, 3,
+      ev("i", 1, "r0", "a", "A"),
+      ev("i", 2, "r0", "b", "B"),
+      ev("i", 3, "r1", "c", "C"))
+    GraftCatalog.create(catDir).register("commits", t.dir)
+    withCatalog("gcat5", catDir) {
+      val df = spark.sql(
+        "SELECT path FROM gcat5.commits WHERE repo = 'r0'")
+      assert(df.collect().map(_.getString(0)).toSet == Set("a", "b"))
+      val plan = df.queryExecution.executedPlan.toString
+      // the scan decodes only the referenced columns (projection + filter)
+      assert(plan.contains("cols=repo,path"),
+        s"scan must be pruned to the referenced columns:\n$plan")
+      assert(plan.contains("pushed=") && plan.contains("repo"),
+        s"the filter must reach the parquet readers as an IO hint:\n$plan")
+      // count(*) prunes to ZERO user columns and still counts live rows
+      assert(spark.sql("SELECT count(*) FROM gcat5.commits")
+        .head().getLong(0) == 3L)
+    }
+  }
+
   test("snapshot isolation: a table loaded by SQL is pinned to the " +
       "manifest at load; a concurrent commit does not tear the query") {
     val catDir = tmpDir("gcatsql4")
