@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
  * Usage:
  *   IngestMain replay <tableDir> <nEvents> <nEpochs> [master]
  *   IngestMain stream <tableDir> <logDir> <nEvents> [master]
+ *   IngestMain changes <tableDir> <fromVersion> <toVersion|current> [outDir]
  */
 object IngestMain {
   def main(args: Array[String]): Unit = {
@@ -117,6 +118,28 @@ object IngestMain {
           f"old_buckets=${rep.oldNumBuckets}%d " +
           f"new_buckets=${rep.newNumBuckets}%d rows=${rep.rows}%d " +
           f"files=${rep.files}%d")
+      case "changes" =>
+        // version-diff change data feed: what a downstream consumer syncs
+        // between two committed snapshots (insert/update/delete + image)
+        val Array(_, tableDir, fromS, toS) = args.take(4)
+        val t = IceTable.create(tableDir)
+        val to = if (toS == "current") t.currentVersion() else toS.toLong
+        val ch = t.changesBetween(spark, fromS.toLong, to)
+        // optional 5th arg: write the feed as parquet instead of counting
+        args.lift(4) match {
+          case Some(out) =>
+            ch.write.mode("overwrite").parquet(out)
+            val n = spark.read.parquet(out)
+              .groupBy("change_type").count().collect()
+              .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+            println(s"mode=changes from=$fromS to=$to out=$out " +
+              s"counts=${n.mkString(",")}")
+          case None =>
+            val n = ch.groupBy("change_type").count().collect()
+              .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+            println(s"mode=changes from=$fromS to=$to " +
+              s"counts=${n.mkString(",")}")
+        }
       case "history" =>
         // snapshot history (time-travel / retention planning surface)
         val t = IceTable.create(args(1))
@@ -190,7 +213,8 @@ object IngestMain {
           f"final_rows=${t.read(spark).count()}%d version=${t.currentVersion()}%d")
       case other =>
         System.err.println(s"unknown mode '$other'; use " +
-          "replay|stream|replay-budgeted|maintain|reprocess|rebucket|history")
+          "replay|stream|replay-budgeted|maintain|reprocess|rebucket|" +
+          "history|changes")
         sys.exit(2)
     } finally {
       graft.metrics.Metrics.clearReporters() // flush/close event files
