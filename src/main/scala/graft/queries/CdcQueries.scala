@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.driver.ReplayJob
 import graft.model.ChangeEvent
-import graft.table.IceTable
+import graft.table.{ChangeFeed, GraftCatalog, IceTable}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -207,6 +207,63 @@ object CdcQueries {
       table.changesBetween(s, vA, vB).orderBy("repo", "path")
     }),
 
+    "c7_change_feed" -> ((s, d) => {
+      // ENVELOPE-SHAPED CHANGE FEED via the SQL-catalog surface
+      // (graft.table.ChangeFeedTable, `<cat>.<table>.changes`): replay the
+      // log's first half into version A and the rest into version B,
+      // register the table by NAME in a durable GraftCatalog, then read
+      // `spark.read.option("startingVersion", A).table("graftq.commits
+      // .changes")` — the incremental plan reads only files that DIFFER
+      // between the two manifests and row-fences carried rows, never
+      // O(table). Two-step oracle: the feed from A is EXACTLY B's physical
+      // rows whose lastSeq lies outside A's committed intervals (files
+      // shared by both manifests are immutable, so every row they hold is
+      // fenced; new files are row-fenced by the readers), so DuckDB
+      // re-derives the feed from B's exported raw state + A's fence.
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-engine-q-" +
+        s"${ProcessHandle.current().pid()}-" +
+        Integer.toHexString(d.hashCode) + "-feed"
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      registerCleanup(tmp)
+      val table = IceTable.create(s"$tmp/table", numBuckets = 16)
+      val log = deriveLog(s, d).as[ChangeEvent]
+      val bounds = log.agg(min($"seq"), max($"seq")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // two epochs suffice here (c3/c6 already oracle the 4-epoch replay;
+      // this query's subject is the FEED surface between two snapshots)
+      val mid = lo + math.max(1L, (hi - lo + 1) / 2) - 1
+      val ranges = Seq((0L, lo - 1, mid), (1L, mid, hi))
+      def loader(id: Long): Dataset[ChangeEvent] = {
+        val (_, l, h) = ranges(id.toInt)
+        log.filter($"seq" > l && $"seq" <= h)
+      }
+      ReplayJob.run(s, table, loader, ranges.take(1), nLogPartitions = 16)
+      val vA = table.currentVersion()
+      ReplayJob.run(s, table, loader, ranges.drop(1), nLogPartitions = 16)
+      val vB = table.currentVersion()
+      val mB = table.readManifest(vB)
+      OracleAux.export(
+        table.readFiles(s, mB.files, mB.schemaId)
+          .select("repo", "path", "commit", "lang", "content", "contentSha",
+            "lastSeq", "deleted"), "c7_state_b")
+      OracleAux.export(
+        ChangeFeed.mergedFence(Some(table.readManifest(vA))).toSeq
+          .toDF("lo", "hi"), "c7_fence_a")
+      // the catalog dir is pid-deterministic: Spark caches catalog
+      // instances by name, and a repeat invocation re-registers into the
+      // SAME path the cached instance already points at
+      val catDir = s"$tmp/cat"
+      GraftCatalog.create(catDir)
+        .register("commits", table.dir, defaultNumBuckets = 16)
+      s.conf.set("spark.sql.catalog.graftq", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graftq.dir", catDir)
+      s.read.option("startingVersion", vA.toString)
+        .table("graftq.commits.changes")
+        .orderBy("repo", "path")
+    }),
+
     "c4_sessionize" -> ((s, d) => {
       // session = events of a user with <30min gaps (lag + running count)
       import org.apache.spark.sql.expressions.Window
@@ -283,6 +340,17 @@ object CdcQueries {
                      ELSE n_sha END AS contentSha,
                 n_seq AS seq
          FROM c WHERE change_type IS NOT NULL
+         ORDER BY repo, path""",
+
+    "c7_change_feed" ->
+      """WITH b AS (SELECT * FROM read_parquet('__AUX__/.aux/c7_state_b/*.parquet')),
+           f AS (SELECT * FROM read_parquet('__AUX__/.aux/c7_fence_a/*.parquet'))
+         SELECT CASE WHEN deleted THEN 'd' ELSE 'u' END AS op,
+                lastSeq AS seq, repo, path, "commit", lang, content,
+                contentSha
+         FROM b
+         WHERE NOT EXISTS (SELECT 1 FROM f
+                           WHERE b.lastSeq > f.lo AND b.lastSeq <= f.hi)
          ORDER BY repo, path""",
 
     "c4_sessionize" ->

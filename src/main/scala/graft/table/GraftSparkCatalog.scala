@@ -85,10 +85,28 @@ final class GraftSparkCatalog extends TableCatalog {
     cat.load(ident.name())
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val t = iceFor(ident)
-    new GraftSqlTable(s"$catalogName.${ident.name()}", t, t.currentManifest())
-  }
+  /** `<cat>.<table>.changes` → the table's change feed (ChangeFeedTable):
+    * batch = feed from origin, streaming = tail the snapshot log. A data
+    * table named literally "changes" is unaffected (`<cat>.changes` has an
+    * empty namespace and resolves as a data table). */
+  private def feedFor(ident: Identifier): Option[Table] =
+    if (!ident.name().equalsIgnoreCase("changes")) None
+    else {
+      val base = ident.namespace() match {
+        case Array(t0) => Some(t0)
+        case Array(d, t0) if d.equalsIgnoreCase("default") => Some(t0)
+        case _ => None
+      }
+      base.filter(b => cat.entry(b).isDefined).map(b =>
+        new ChangeFeedTable(s"$catalogName.$b.changes", cat.load(b)))
+    }
+
+  override def loadTable(ident: Identifier): Table =
+    feedFor(ident).getOrElse {
+      val t = iceFor(ident)
+      new GraftSqlTable(s"$catalogName.${ident.name()}", t,
+        t.currentManifest())
+    }
 
   /** `VERSION AS OF <v>` — snapshot isolation falls out of manifest
     * immutability, same as [[IceTable.readAt]]. */
