@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
  *   IngestMain replay <tableDir> <nEvents> <nEpochs> [master]
  *   IngestMain stream <tableDir> <logDir> <nEvents> [master]
  *   IngestMain changes <tableDir> <fromVersion> <toVersion|current> [outDir]
+ *   IngestMain mirror <upstreamDir> <mirrorDir> [toVersion|current] [nLogParts]
  */
 object IngestMain {
   def main(args: Array[String]): Unit = {
@@ -140,6 +141,21 @@ object IngestMain {
             println(s"mode=changes from=$fromS to=$to " +
               s"counts=${n.mkString(",")}")
         }
+      case "mirror" =>
+        // replicate a published table into a downstream replica via the
+        // change feed (dataset-replication analog; MirrorJob scaladoc).
+        // Usage: mirror <upstreamDir> <mirrorDir> [toVersion|current] [nLogParts]
+        val Array(_, upDir, mirDir) = args.take(3)
+        val up = IceTable.create(upDir)
+        val nlp = args.lift(4).map(_.toInt).getOrElse(32)
+        val to = args.lift(3).filterNot(_ == "current").map(_.toLong)
+        val mir = IceTable.create(mirDir, numBuckets = up.numBuckets)
+        val o = MirrorJob.sync(spark, up, mir, nLogPartitions = nlp,
+          toVersion = to)
+        println(s"mode=mirror from=${o.fromVersion} to=${o.toVersion} " +
+          s"mirror_version=${o.mirrorVersion} full_sync=${o.fullSync} " +
+          s"stats=${o.stats.getOrElse("none")} " +
+          s"rows=${mir.read(spark).count()}")
       case "history" =>
         // snapshot history (time-travel / retention planning surface)
         val t = IceTable.create(args(1))

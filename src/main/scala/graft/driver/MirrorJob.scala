@@ -1,0 +1,247 @@
+package graft.driver
+
+import graft.merge.{Intervals, MergeEngine}
+import graft.model.{ChangeEvent, EpochStats}
+import graft.table.{IceTable, SchemaRegistry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table MIRRORING: replicate a published IceTable into a downstream replica
+ * by consuming the version-diff change feed — the engine analog of the
+ * reference's dataset-replication module (gobblin-data-management/.../copy/:
+ * CopySource replicates published datasets cluster-to-cluster; here the
+ * unit of replication is the committed SNAPSHOT, not raw files, so a mirror
+ * is itself a first-class IceTable with working time travel, serving-path
+ * lookups, change feeds, and SQL-catalog access).
+ *
+ * Design:
+ *  - The feed between the last-synced upstream version and the target
+ *    version drives a normal [[MergeEngine.applyEpoch]] into the mirror —
+ *    fencing, LWW, counters, commit-rebase all apply unchanged, so a sync
+ *    is idempotent and crash-safe (re-running it re-fences already-applied
+ *    changes).
+ *  - OFFSET CONVERGENCE: the sync claims, per log partition, exactly the
+ *    interval DELTA between the upstream's committed set at the target
+ *    version and the mirror's own committed set ([[Intervals.subtract]]
+ *    through applyEpoch's `claimedSet`). A union/range claim would be
+ *    wrong: claiming a lagging partition's still-unobserved seqs fences
+ *    those events when the upstream later commits them — silent loss on
+ *    the mirror. With per-partition deltas the mirror's offset state
+ *    converges to the upstream's exactly, which is also what makes the
+ *    NEXT sync's fence correct.
+ *  - SYNC-POINT TRACKING: a sync commits with `epochId = <upstream
+ *    version>`, so the mirror manifest itself records the sync point
+ *    atomically with the data (the store-offsets-with-data exactly-once
+ *    pattern; cf. the reference's watermark-in-state-store,
+ *    StateStoreBasedWatermarkStorage.java:47-125). The recorded point is
+ *    TRUSTED only if the upstream still retains that version AND its
+ *    committed offsets equal the mirror's — anything else (mirror
+ *    compaction overwrote epochId, upstream retention expired the version,
+ *    out-of-band writes) falls back to a FULL state resync, which heals
+ *    every divergence by construction.
+ *  - PURGED-TOMBSTONE deletes: a key deleted AND horizon-purged inside the
+ *    sync window diffs as (live, absent) — the tombstone's seq is gone.
+ *    The sync substitutes the top of the key's partition's claim delta:
+ *    provably ≥ the lost tombstone seq (which lies in the delta), outside
+ *    the mirror's committed set (delta is disjoint from it by
+ *    construction), and > the mirror row's lastSeq — so the delete both
+ *    passes the fence and wins LWW, without inventing seqs outside the
+ *    claimed window.
+ *
+ * Scale shape: an incremental sync reads only the files the upstream
+ * rewrote between the two versions (changesBetween's manifest file-diff),
+ * shuffles only changed-bucket rows, and merges into only the mirror
+ * buckets those keys hash to — O(delta), never O(table). The full resync
+ * path scans both tables once (documented recovery path).
+ *
+ * A mirror table must only be written by `sync` (plus maintenance:
+ * compaction/retention/rebucket are state-preserving and safe — at worst
+ * they clobber the recorded sync point and cost one full resync).
+ */
+object MirrorJob {
+
+  final case class MirrorOutcome(
+      fromVersion: Long,     // upstream version synced from; -1 = full sync
+      toVersion: Long,       // upstream version synced to
+      mirrorVersion: Long,   // mirror snapshot version after the sync
+      fullSync: Boolean,     // bootstrap / recovery resync (O(table) scan)
+      stats: Option[EpochStats]) // None = nothing to apply (no-op / stamp)
+
+  /** Sync `mirror` to the upstream's state at `toVersion` (default: the
+    * upstream's current version). `nLogPartitions` MUST match the value the
+    * upstream ingest runs with (it keys the per-partition offset universe
+    * and the key→partition hash). Returns the sync outcome; no-op if the
+    * mirror is already at the target version. */
+  def sync(spark: SparkSession, upstream: IceTable, mirror: IceTable,
+           nLogPartitions: Int = 32,
+           toVersion: Option[Long] = None): MirrorOutcome = {
+    val vTo = toVersion.getOrElse(upstream.currentVersion())
+    require(vTo >= 0, s"upstream ${upstream.dir} has no committed snapshot")
+    val up2 = upstream.readManifest(vTo)
+    val upIv = MergeEngine.committedIntervals(Some(up2))
+    require(upIv.keys.forall(p => p >= 0 && p < nLogPartitions),
+      s"upstream offsets use partitions ${upIv.keys.toSeq.sorted} outside " +
+        s"universe 0..${nLogPartitions - 1}; pass the upstream ingest's " +
+        "nLogPartitions")
+
+    val mParent = mirror.currentManifest()
+    val mirIv = MergeEngine.committedIntervals(mParent)
+
+    // align the mirror's schema to the upstream's target-version schema
+    // BEFORE merging (stepwise: the registry history is linear, and
+    // evolveSchema validates each add/rename/widen step). Metadata-only;
+    // works on an empty mirror too.
+    val mSchema = mParent.map(_.schemaId)
+      .getOrElse(SchemaRegistry.baseSchemaId)
+    require(up2.schemaId >= mSchema,
+      s"mirror schema $mSchema is ahead of upstream ${up2.schemaId}: " +
+        "not a mirror of this upstream")
+    if (up2.schemaId > mSchema)
+      ((mSchema + 1) to up2.schemaId).foreach(mirror.evolveSchema(_))
+
+    // trusted sync point: recorded epochId, retained upstream, offsets equal
+    val vFrom: Long = mParent.map(_.epochId).filter { v =>
+      v >= 0 && v <= vTo &&
+        upstream.history().exists(_.version == v) && {
+          val atV = MergeEngine.committedIntervals(
+            Some(upstream.readManifestHeader(v)))
+          normalized(atV) == normalized(mirIv)
+        }
+    }.getOrElse(-1L)
+    if (vFrom == vTo)
+      return MirrorOutcome(vFrom, vTo, mirror.currentVersion(),
+        fullSync = false, stats = None)
+
+    // per-partition claim delta: upstream committed(vTo) \ mirror committed
+    val delta: Map[Int, Seq[(Long, Long)]] = upIv.flatMap {
+      case (p, ivs) =>
+        val d = Intervals.subtract(ivs, mirIv.getOrElse(p, Nil))
+        if (d.isEmpty) None else Some(p -> d)
+    }
+    if (delta.isEmpty && vFrom >= 0) {
+      // metadata-only upstream movement (schema evolution, compaction,
+      // retention): state-preserving by the claim invariant — just stamp
+      // the new sync point so the next sync diffs from vTo.
+      val v = stampSyncPoint(mirror, vTo)
+      return MirrorOutcome(vFrom, vTo, v, fullSync = false, stats = None)
+    }
+    // substitute seq for deletes whose tombstone purged inside the window:
+    // top of the key's partition's claim delta (see scaladoc)
+    val topOfDelta: Map[Int, Long] =
+      delta.map { case (p, ivs) => p -> ivs.map(_._2).max }
+
+    val feed: DataFrame =
+      if (vFrom >= 0)
+        changeFeedEvents(spark, upstream, vFrom, vTo, up2.schemaId,
+          topOfDelta, nLogPartitions)
+      else
+        fullStateEvents(spark, upstream, mirror, up2, topOfDelta,
+          nLogPartitions)
+
+    import spark.implicits._
+    val out = MergeEngine.applyEpoch(spark, mirror,
+      feed.as[ChangeEvent], epochId = vTo,
+      nLogPartitions = nLogPartitions,
+      // rows already passed the UPSTREAM's row policies before they were
+      // committed; a mirror replicates committed state verbatim (re-running
+      // policies could quarantine an already-published row → divergence)
+      rowPolicies = Nil,
+      claimedSet = Some(delta))
+    // a fully-fenced sync with no new claims leaves the manifest untouched;
+    // stamp the sync point so subsequent syncs stay incremental
+    val mv = if (out.manifest.epochId == vTo) out.manifest.version
+             else stampSyncPoint(mirror, vTo)
+    MirrorOutcome(vFrom, vTo, mv, fullSync = vFrom < 0, Some(out.stats))
+  }
+
+  private def normalized(m: Map[Int, Seq[(Long, Long)]])
+      : Map[Int, Seq[(Long, Long)]] =
+    m.map { case (p, ivs) => p -> Intervals.normalize(ivs) }
+      .filter(_._2.nonEmpty)
+
+  /** Metadata-only commit recording `vTo` as the mirror's sync point
+    * (epochId). Only called when the mirror's STATE already equals the
+    * upstream's at vTo (no-op sync / fully-fenced resync). */
+  private def stampSyncPoint(mirror: IceTable, vTo: Long): Long =
+    mirror.currentManifest() match {
+      case Some(pm) if pm.epochId == vTo => pm.version
+      case Some(pm) => mirror.commit(pm.copy(version = pm.version + 1,
+        epochId = vTo, parentVersion = pm.version)).version
+      case None => -1L // empty upstream, empty mirror: nothing to record
+    }
+
+  /** ChangeEvent payload column for a stable colId under the upstream's
+    * CURRENT schema names (renames track colIds, so a mirror of a
+    * renamed-column table still feeds the right payload). */
+  private def payloadCol(schemaId: Int, colId: Int): Column =
+    col(SchemaRegistry.schemaFor(schemaId).byColId(colId).name)
+
+  /** `element_at` over a small literal map partition→seq (≤ nLogPartitions
+    * entries — stays a codegen'd expression, no join, no broadcast). */
+  private def topOfDeltaCol(topOfDelta: Map[Int, Long],
+                            nLogPartitions: Int): Column =
+    if (topOfDelta.isEmpty) lit(Long.MinValue)
+    else {
+      val kvs = topOfDelta.toSeq.flatMap { case (p, s) =>
+        Seq(lit(p), lit(s))
+      }
+      coalesce(
+        element_at(map(kvs: _*),
+          MergeEngine.logPartitionCol(nLogPartitions)),
+        lit(Long.MinValue))
+    }
+
+  /** Incremental feed: the upstream's changesBetween mapped to ChangeEvent
+    * shape (insert/update → i/u with postimage; delete → d with the
+    * tombstone seq, or the partition's delta top if the tombstone purged
+    * inside the window). */
+  private def changeFeedEvents(spark: SparkSession, upstream: IceTable,
+      vFrom: Long, vTo: Long, schemaId: Int,
+      topOfDelta: Map[Int, Long], nLogPartitions: Int): DataFrame = {
+    val ch = upstream.changesBetween(spark, vFrom, vTo)
+    val isDel = col("change_type") === "delete"
+    ch.select(
+      when(col("change_type") === "insert", lit("i"))
+        .when(col("change_type") === "update", lit("u"))
+        .otherwise(lit("d")).as("op"),
+      coalesce(col("seq"), topOfDeltaCol(topOfDelta, nLogPartitions))
+        .as("seq"),
+      col("repo"), col("path"),
+      coalesce(payloadCol(schemaId, 3), lit("")).as("commit"),
+      coalesce(payloadCol(schemaId, 4), lit("")).as("lang"),
+      when(isDel, lit(""))
+        .otherwise(coalesce(payloadCol(schemaId, 5), lit("")))
+        .as("content"))
+  }
+
+  /** Recovery feed: the upstream's full raw state (live rows as upserts,
+    * surviving tombstones as deletes with their own seqs) plus deletes for
+    * mirror-live keys the upstream no longer knows (tombstones purged
+    * before the resync). O(both tables) — bootstrap/repair only. */
+  private def fullStateEvents(spark: SparkSession, upstream: IceTable,
+      mirror: IceTable, up2: graft.model.EpochManifest,
+      topOfDelta: Map[Int, Long], nLogPartitions: Int): DataFrame = {
+    val isDel = coalesce(col("deleted"), lit(false))
+    val upEv = upstream.readFiles(spark, up2.files, up2.schemaId)
+      .select(
+        when(isDel, lit("d")).otherwise(lit("i")).as("op"),
+        col("lastSeq").as("seq"),
+        col("repo"), col("path"),
+        coalesce(payloadCol(up2.schemaId, 3), lit("")).as("commit"),
+        coalesce(payloadCol(up2.schemaId, 4), lit("")).as("lang"),
+        when(isDel, lit(""))
+          .otherwise(coalesce(payloadCol(up2.schemaId, 5), lit("")))
+          .as("content"))
+    val upKeys = upstream.readFiles(spark, up2.files, up2.schemaId)
+      .select(col("repo"), col("path"))
+    val mirrorOnlyDels = mirror.read(spark)
+      .select(col("repo"), col("path"))
+      .join(upKeys, Seq("repo", "path"), "left_anti")
+      .select(lit("d").as("op"),
+        topOfDeltaCol(topOfDelta, nLogPartitions).as("seq"),
+        col("repo"), col("path"),
+        lit("").as("commit"), lit("").as("lang"), lit("").as("content"))
+    upEv.unionByName(mirrorOnlyDels)
+  }
+}

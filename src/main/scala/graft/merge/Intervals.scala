@@ -41,6 +41,26 @@ object Intervals {
     out.toList
   }
 
+  /** a \ b (normalized): the seqs of `a` not covered by `b` — the claim
+    * DELTA between two committed offset states (e.g. a mirror claiming
+    * exactly what its upstream committed between two snapshots). Interval
+    * sets here are small (normalized per partition), so the quadratic
+    * carve is simpler than a merge walk and never the bottleneck. */
+  def subtract(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val bs = normalize(b)
+    normalize(a).flatMap { case (alo, ahi) =>
+      var pieces = List((alo, ahi))
+      bs.foreach { case (blo, bhi) =>
+        pieces = pieces.flatMap { case (lo, hi) =>
+          if (bhi <= lo || blo >= hi) List((lo, hi))
+          else List((lo, math.min(blo, hi)), (math.max(bhi, lo), hi))
+            .filter(p => p._2 > p._1)
+        }
+      }
+      pieces
+    }
+  }
+
   /** Merge per-partition claims into the committed interval sets, keeping
     * one normalized interval list per partition 0..nLogPartitions-1 and
     * carrying forward (never dropping) committed intervals of partitions

@@ -122,9 +122,13 @@ object MergeEngine {
       manifest: EpochManifest,
       parent0: Option[EpochManifest],
       affectedBuckets: Set[Int],
-      claimedIvs: Seq[(Long, Long)],
+      claimsFor: Int => Seq[(Long, Long)],
       nLogPartitions: Int,
       maxRetries: Int = 3): EpochManifest = {
+    // union over partitions: the disjointness check below is against the
+    // interleaver's GLOBAL claim footprint (seqs are globally unique)
+    lazy val claimedIvs: Seq[(Long, Long)] = Intervals.normalize(
+      (0 until nLogPartitions).flatMap(claimsFor))
     var m = manifest
     var par = parent0
     var left = maxRetries
@@ -174,7 +178,7 @@ object MergeEngine {
               }
             }
           val offsets2 = Intervals.mergeClaims(newIvWidened, nLogPartitions,
-            _ => claimedIvs)
+            claimsFor)
           m = m.copy(
             version = np.version + 1,
             parentVersion = np.version,
@@ -234,6 +238,15 @@ object MergeEngine {
         Seq(graft.pipeline.TaskPolicies.RowCountReconciliation()),
       rowPolicies: Seq[RowPolicies.Policy] = RowPolicies.defaults,
       claimedRange: Option[(Long, Long)] = None,
+      // PER-PARTITION claim sets (takes precedence over claimedRange): for
+      // callers that know exactly which seq intervals each log partition
+      // completely observed — e.g. a MIRROR claiming the upstream's
+      // committed-interval delta so its offset state converges to the
+      // upstream's partition by partition. A union claim would be WRONG
+      // there: claiming a lagging partition's still-unobserved range on
+      // its behalf fences those events when the upstream later commits
+      // them — silent data loss on the mirror.
+      claimedSet: Option[Map[Int, Seq[(Long, Long)]]] = None,
       // ONLY for quarantine reprocess (QuarantineReprocess.run): admit rows
       // whose seqs sit inside committed intervals. Quarantine is terminal —
       // a quarantined row's seq was claimed but its effect provably never
@@ -460,7 +473,13 @@ object MergeEngine {
     //    and logs the truncation — unclaimed seqs are simply re-observed
     //    later (the fence + LWW merge make re-pulls idempotent), so bounded
     //    driver memory costs no correctness.
-    val claimedIvs: Seq[(Long, Long)] = claimedRange match {
+    val claimedIvs: Seq[(Long, Long)] = claimedSet match {
+      case Some(m) =>
+        require(m.keySet.subsetOf((0 until nLogPartitions).toSet),
+          s"claimedSet partitions ${m.keySet.toSeq.sorted.mkString(",")} " +
+            s"outside universe 0..${nLogPartitions - 1}")
+        Intervals.normalize(m.values.flatten.toSeq)
+      case None => claimedRange match {
       case Some((lo, hi)) => Seq((lo, hi))
       case None =>
         val cap = spark.conf.getOption("spark.graft.maxClaimRuns")
@@ -504,9 +523,13 @@ object MergeEngine {
         complete.grouped(2).collect {
           case Array((vs, 1), (ve, 0)) => (vs - 1, ve - 1)
         }.toSeq
+    } }
+    val claimsFor: Int => Seq[(Long, Long)] = claimedSet match {
+      case Some(m) => p => m.getOrElse(p, Nil)
+      case None => _ => claimedIvs
     }
     def mergedOffsets: Seq[OffsetRange] =
-      Intervals.mergeClaims(committedIv, nLogPartitions, _ => claimedIvs)
+      Intervals.mergeClaims(committedIv, nLogPartitions, claimsFor)
 
     if (freshCount == 0) {
       // everything was fenced or quarantined; counters must still reconcile
@@ -537,7 +560,7 @@ object MergeEngine {
         .getOrElse(EpochManifest(0L, epochId, SchemaRegistry.baseSchemaId,
           Nil, mo, st, -1L, complete0, numBuckets = nBuckets))
       val committed = commitWithRebase(table, m, parent, Set.empty,
-        claimedIvs, nLogPartitions)
+        claimsFor, nLogPartitions)
       emitCommitEvent(table, committed, st, skipped = true)
       return EpochOutcome(committed, skipped = true, st)
     }
@@ -785,7 +808,7 @@ object MergeEngine {
     graft.pipeline.TaskPolicies.enforce(taskPolicies, stats)
 
     val committed = timed("commit")(commitWithRebase(table, manifest, parent,
-      affectedBuckets, claimedIvs, nLogPartitions))
+      affectedBuckets, claimsFor, nLogPartitions))
     emitCommitEvent(table, committed, stats, skipped = false)
     EpochOutcome(committed, skipped = false, stats)
     } finally { winners.unpersist(); () }

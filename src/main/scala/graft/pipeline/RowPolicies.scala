@@ -42,7 +42,8 @@ object RowPolicies {
     * the good and the bad branch (`!NULL` is NULL — such a row would match
     * neither `filter(passAll)` nor `filter(!passAll)`). */
   def passAll(policies: Seq[Policy] = defaults): Column =
-    coalesce(policies.map(_.pass).reduce(_ && _), lit(false))
+    if (policies.isEmpty) lit(true) // no policies ⇒ everything passes
+    else coalesce(policies.map(_.pass).reduce(_ && _), lit(false))
 
   /** First failing policy name (for the quarantine `reason` column);
     * null-safe per policy (NULL predicate == that policy failed). */

@@ -1,0 +1,206 @@
+package graft
+
+import graft.driver.MirrorJob
+import graft.maintenance.Compaction
+import graft.merge.{Intervals, MergeEngine}
+import graft.model.ChangeEvent
+import graft.table.IceTable
+import org.apache.spark.sql.functions._
+
+/**
+ * Table mirroring over the change feed (MirrorJob.sync): state and OFFSET
+ * convergence, per-partition claim deltas under divergent upstream
+ * watermarks, purged-tombstone deletes, recovery resync after the sync
+ * point is clobbered, and schema-evolution tracking.
+ */
+class MirrorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 2 // log partitions in these fixtures
+
+  private def ev(op: String, seq: Long, repo: String, path: String,
+                 content: String): ChangeEvent =
+    ChangeEvent(op, seq, repo, path, "c" * 40, "scala", content)
+
+  private def apply(t: IceTable, epoch: Long, lo: Long, hi: Long,
+                    evs: ChangeEvent*): Unit = {
+    MergeEngine.applyEpoch(spark, t, evs.toDS(), epoch, nLogPartitions = N,
+      claimedRange = Some((lo, hi)))
+    ()
+  }
+
+  private def applySet(t: IceTable, epoch: Long,
+                       claims: Map[Int, Seq[(Long, Long)]],
+                       evs: ChangeEvent*): Unit = {
+    MergeEngine.applyEpoch(spark, t, evs.toDS(), epoch, nLogPartitions = N,
+      claimedSet = Some(claims))
+    ()
+  }
+
+  private def sync(up: IceTable, mir: IceTable): MirrorJob.MirrorOutcome =
+    MirrorJob.sync(spark, up, mir, nLogPartitions = N)
+
+  /** canonical raw state: payload + lastSeq + tombstone flag per key */
+  private def state(t: IceTable): Set[(String, String, String, Long, Boolean)] =
+    t.readRaw(spark)
+      .select(col("repo"), col("path"),
+        coalesce(col("content"), lit("")).as("content"),
+        col("lastSeq"), coalesce(col("deleted"), lit(false)).as("deleted"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+
+  private def offsets(t: IceTable): Map[Int, Seq[(Long, Long)]] =
+    MergeEngine.committedIntervals(t.currentManifest())
+      .map { case (p, ivs) => p -> Intervals.normalize(ivs) }
+      .filter(_._2.nonEmpty)
+
+  private def assertConverged(up: IceTable, mir: IceTable): Unit = {
+    assert(state(mir) == state(up), "mirror state must equal upstream")
+    assert(offsets(mir) == offsets(up),
+      "mirror committed offsets must equal upstream")
+    assert(mir.currentManifest().get.epochId == up.currentVersion(),
+      "mirror must record the upstream sync point")
+  }
+
+  /** a path that hashes to log partition `p` (same hash the engine uses) */
+  private def pathFor(repo: String, p: Int): String =
+    Iterator.from(0).map(i => s"f$i.scala").find { path =>
+      spark.range(1).select(pmod(xxhash64(lit(repo), lit(path)), lit(N))
+        .cast("int")).head().getInt(0) == p
+    }.get
+
+  test("bootstrap + incremental sync converge state, offsets, and sync " +
+      "point; re-sync is a no-op") {
+    val up = IceTable.create(tmpDir("mir1-up"), numBuckets = 4)
+    val mir = IceTable.create(tmpDir("mir1-m"), numBuckets = 4)
+    apply(up, 0, 0, 3,
+      ev("i", 1, "r0", "a", "A1"),
+      ev("i", 2, "r0", "b", "B1"),
+      ev("i", 3, "r1", "c", "C1"))
+    val o1 = sync(up, mir)
+    assert(o1.fullSync, "first sync bootstraps")
+    assertConverged(up, mir)
+
+    apply(up, 1, 3, 6,
+      ev("u", 4, "r0", "a", "A2"),
+      ev("d", 5, "r0", "b", ""),
+      ev("i", 6, "r2", "d", "D1"))
+    val o2 = sync(up, mir)
+    assert(!o2.fullSync, "second sync must be incremental")
+    // incremental: only the three changed keys flow, not the whole table
+    assert(o2.stats.get.rowsExtracted == 3,
+      s"expected 3 feed rows, got ${o2.stats}")
+    assertConverged(up, mir)
+
+    val before = mir.currentVersion()
+    val o3 = sync(up, mir)
+    assert(o3.stats.isEmpty && mir.currentVersion() == before,
+      "at-target sync must be a no-op")
+  }
+
+  test("per-partition claim delta: a lagging partition's gap is NOT " +
+      "fenced on the mirror when the upstream later fills it") {
+    val up = IceTable.create(tmpDir("mir2-up"), numBuckets = 4)
+    val mir = IceTable.create(tmpDir("mir2-m"), numBuckets = 4)
+    val p0a = pathFor("r0", 0)
+    val p1a = pathFor("r1", 1)
+    val p1b = pathFor("r2", 1)
+    // epoch 0: partition 0 fully observed to 10, partition 1 lagging at 4
+    applySet(up, 0, Map(0 -> Seq((0L, 10L)), 1 -> Seq((0L, 4L))),
+      ev("i", 7, "r0", p0a, "P0A"),
+      ev("i", 3, "r1", p1a, "P1A"))
+    sync(up, mir)
+    assert(offsets(mir) == Map(0 -> Seq((0L, 10L)), 1 -> Seq((0L, 4L))),
+      s"mirror must claim per-partition deltas, got ${offsets(mir)}")
+    // epoch 1: partition 1 catches up with events INSIDE the union of the
+    // earlier claims — a union-claiming mirror would have fenced seq 8
+    applySet(up, 1, Map(1 -> Seq((4L, 10L))),
+      ev("i", 8, "r2", p1b, "P1B"))
+    sync(up, mir)
+    assertConverged(up, mir)
+    assert(state(mir).exists(_._3 == "P1B"),
+      "late partition-1 event must reach the mirror (not fenced)")
+  }
+
+  test("delete whose tombstone purged inside the sync window still " +
+      "deletes on the mirror (substituted seq from the claim delta)") {
+    val up = IceTable.create(tmpDir("mir3-up"), numBuckets = 2)
+    val mir = IceTable.create(tmpDir("mir3-m"), numBuckets = 2)
+    apply(up, 0, -1, 2, // origin-anchored claim: the purge horizon advances
+      ev("i", 1, "k0", "a", "A"),
+      ev("i", 2, "k1", "b", "B"))
+    sync(up, mir)
+    // delete inside a contiguous claim, then compact: tombstone purges
+    // below the safe horizon — the diff window sees (live, absent)
+    apply(up, 1, 2, 4,
+      ev("d", 3, "k0", "a", ""),
+      ev("u", 4, "k1", "b", "B2"))
+    Compaction.compact(spark, up)
+    assert(!state(up).exists(r => r._1 == "k0" && r._5),
+      "precondition: upstream tombstone must be purged by compaction")
+    val o = sync(up, mir)
+    assert(!o.fullSync, "purged tombstone must not force a full resync")
+    // the mirror applies the delete as a TOMBSTONE (it purges on the
+    // mirror's own horizon at its next compaction); the USER view converges
+    def live(t: IceTable): Set[(String, String, String)] =
+      t.read(spark).select("repo", "path", "content").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(!live(mir).exists(_._1 == "k0"),
+      "mirror must delete the key whose tombstone purged in-window")
+    assert(live(mir) == live(up), "user-visible state must converge")
+    assert(state(mir).exists(r => r._1 == "k0" && r._5),
+      "the delete lands as a mirror tombstone (purged by mirror " +
+        "compaction, not upstream's)")
+    assert(offsets(mir) == offsets(up))
+    // and the mirror's own compaction purges it (substituted seq 4 ≤
+    // horizon 4), after which raw states match too
+    Compaction.compact(spark, mir)
+    assert(state(mir) == state(up), "raw states match after mirror purge")
+  }
+
+  test("clobbered sync point (mirror compaction) falls back to full " +
+      "resync, heals, and returns to incremental syncs") {
+    val up = IceTable.create(tmpDir("mir4-up"), numBuckets = 2)
+    val mir = IceTable.create(tmpDir("mir4-m"), numBuckets = 2)
+    apply(up, 0, 0, 2,
+      ev("i", 1, "r0", "a", "A"),
+      ev("i", 2, "r1", "b", "B"))
+    sync(up, mir)
+    Compaction.compact(spark, mir) // overwrites the mirror's epochId
+    apply(up, 1, 2, 4,
+      ev("u", 3, "r0", "a", "A2"),
+      ev("d", 4, "r1", "b", ""))
+    val o = sync(up, mir)
+    assert(o.fullSync, "clobbered sync point must trigger a full resync")
+    assertConverged(up, mir)
+    apply(up, 2, 4, 5, ev("i", 5, "r2", "c", "C"))
+    val o2 = sync(up, mir)
+    assert(!o2.fullSync, "after healing, syncs are incremental again")
+    assertConverged(up, mir)
+  }
+
+  test("upstream schema evolution tracks onto the mirror; metadata-only " +
+      "upstream movement stamps the sync point without reading data") {
+    val up = IceTable.create(tmpDir("mir5-up"), numBuckets = 2)
+    val mir = IceTable.create(tmpDir("mir5-m"), numBuckets = 2)
+    apply(up, 0, 0, 2,
+      ev("i", 1, "r0", "a", "A"),
+      ev("i", 2, "r1", "b", "B"))
+    sync(up, mir)
+    // evolve 1→3 (add sizeBytes, rename lang→language), then new data
+    up.evolveSchema(2)
+    up.evolveSchema(3)
+    apply(up, 1, 2, 3, ev("u", 3, "r0", "a", "A2"))
+    sync(up, mir)
+    assert(mir.currentManifest().get.schemaId == 3,
+      "mirror schema must track the upstream's")
+    assert(mir.read(spark).columns.contains("language"))
+    assertConverged(up, mir)
+    // metadata-only movement: compaction commit with zero state change
+    Compaction.compact(spark, up)
+    val o = sync(up, mir)
+    assert(o.stats.isEmpty, "metadata-only movement applies no rows")
+    assertConverged(up, mir)
+  }
+}

@@ -253,6 +253,32 @@ class OutOfOrderSpec extends SparkSpec {
     assert(Intervals.intersect(Nil, Seq((0L, 5L))) == Nil)
   }
 
+  test("interval algebra: subtract (mirror claim delta)") {
+    // carve middle, edges, full cover, disjoint, and multi-b carve
+    assert(Intervals.subtract(Seq((0L, 10L)), Seq((3L, 6L)))
+      == Seq((0L, 3L), (6L, 10L)))
+    assert(Intervals.subtract(Seq((0L, 10L)), Seq((0L, 4L))) == Seq((4L, 10L)))
+    assert(Intervals.subtract(Seq((0L, 10L)), Seq((7L, 12L))) == Seq((0L, 7L)))
+    assert(Intervals.subtract(Seq((2L, 8L)), Seq((0L, 10L))) == Nil)
+    assert(Intervals.subtract(Seq((0L, 10L)), Seq((12L, 20L)))
+      == Seq((0L, 10L)))
+    assert(Intervals.subtract(Seq((0L, 10L), (20L, 30L)), Seq((5L, 25L)))
+      == Seq((0L, 5L), (25L, 30L)))
+    assert(Intervals.subtract(Nil, Seq((0L, 5L))) == Nil)
+    assert(Intervals.subtract(Seq((0L, 5L)), Nil) == Seq((0L, 5L)))
+    // un-normalized inputs normalize first; open-low/closed-high boundary:
+    // subtracting (0,3] from (0,5] leaves exactly (3,5]
+    assert(Intervals.subtract(Seq((3L, 5L), (0L, 3L)), Seq((0L, 3L)))
+      == Seq((3L, 5L)))
+    // delta then union with the base reconstructs the whole (convergence
+    // invariant the mirror relies on)
+    val a = Seq((0L, 7L), (9L, 15L), (20L, 21L))
+    val b = Seq((2L, 5L), (9L, 15L))
+    val d = Intervals.subtract(a, b)
+    assert(Intervals.normalize(d ++ Intervals.intersect(a, b))
+      == Intervals.normalize(a))
+  }
+
   test("gap-dense fence: native expression is codegen'd and fences exactly") {
     import graft.functions.{IntervalIndex, IntervalInside}
     import org.apache.spark.sql.functions._
