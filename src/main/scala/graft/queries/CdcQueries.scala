@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.driver.ReplayJob
+import graft.driver.{MirrorJob, ReplayJob}
 import graft.model.ChangeEvent
 import graft.table.{ChangeFeed, GraftCatalog, IceTable}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -264,6 +264,47 @@ object CdcQueries {
         .orderBy("repo", "path")
     }),
 
+    "c8_mirror" -> ((s, d) => {
+      // TABLE MIRRORING (graft.driver.MirrorJob): replay the log's first
+      // half into an UPSTREAM table, bootstrap a mirror replica from it,
+      // replay the rest upstream (updates AND deletes), then sync again —
+      // the second sync is INCREMENTAL (it reads only files the upstream
+      // rewrote and claims only the per-partition offset delta). The
+      // emitted MIRROR user view must equal the full-log LWW fold
+      // byte-for-byte (same DuckDB oracle as the direct replay c3):
+      // replay ∘ sync ≡ fold is exactly the replica-correctness contract.
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-engine-q-" +
+        s"${ProcessHandle.current().pid()}-" +
+        Integer.toHexString(d.hashCode) + "-mir"
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      registerCleanup(tmp)
+      val up = IceTable.create(s"$tmp/up", numBuckets = 16)
+      val mir = IceTable.create(s"$tmp/mir", numBuckets = 16)
+      val log = deriveLog(s, d).as[ChangeEvent]
+      val bounds = log.agg(min($"seq"), max($"seq")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val n = hi - lo + 1
+      val nEpochs = 4
+      val per = math.max(1L, n / nEpochs)
+      val ranges = (0 until nEpochs).map { e =>
+        (e.toLong, lo + e * per - 1,
+          if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+      }
+      def loader(id: Long): Dataset[ChangeEvent] = {
+        val (_, l, h) = ranges(id.toInt)
+        log.filter($"seq" > l && $"seq" <= h)
+      }
+      ReplayJob.run(s, up, loader, ranges.take(2), nLogPartitions = 16)
+      MirrorJob.sync(s, up, mir, nLogPartitions = 16) // bootstrap
+      ReplayJob.run(s, up, loader, ranges.drop(2), nLogPartitions = 16)
+      MirrorJob.sync(s, up, mir, nLogPartitions = 16) // incremental delta
+      mir.read(s)
+        .select("repo", "path", "commit", "lang", "content", "contentSha")
+        .orderBy("repo", "path")
+    }),
+
     "c4_sessionize" -> ((s, d) => {
       // session = events of a user with <30min gaps (lag + running count)
       import org.apache.spark.sql.expressions.Window
@@ -306,6 +347,9 @@ object CdcQueries {
          WHERE rn = 1 ORDER BY user_id""",
     "c2_cdc_fold" -> foldSql,
     "c3_cdc_engine_replay" -> foldSql,
+    // the mirror replica must reproduce the same fold as the table it
+    // replicates — replay ∘ sync ≡ fold (see the c8 query comment)
+    "c8_mirror" -> foldSql,
     "c6_cdc_changes" ->
       """WITH a AS (SELECT * FROM read_parquet('__AUX__/.aux/c6_state_a/*.parquet')),
            b AS (SELECT * FROM read_parquet('__AUX__/.aux/c6_state_b/*.parquet')),
