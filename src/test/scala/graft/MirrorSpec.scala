@@ -180,6 +180,30 @@ class MirrorSpec extends SparkSpec {
     assertConverged(up, mir)
   }
 
+  test("mirror chain: a mirror is a first-class upstream — A→B→C " +
+      "converges through two hops, incrementally") {
+    val a = IceTable.create(tmpDir("mir6-a"), numBuckets = 2)
+    val b = IceTable.create(tmpDir("mir6-b"), numBuckets = 2)
+    val c = IceTable.create(tmpDir("mir6-c"), numBuckets = 2)
+    apply(a, 0, 0, 2,
+      ev("i", 1, "r0", "a", "A"),
+      ev("i", 2, "r1", "b", "B"))
+    sync(a, b)
+    sync(b, c)
+    assertConverged(a, b)
+    assertConverged(b, c)
+    apply(a, 1, 2, 4,
+      ev("u", 3, "r0", "a", "A2"),
+      ev("d", 4, "r1", "b", ""))
+    assert(!sync(a, b).fullSync)
+    val o = sync(b, c)
+    assert(!o.fullSync, "second hop must stay incremental")
+    assertConverged(b, c)
+    assert(state(c) == state(a), "two-hop replica equals the origin")
+    assert(offsets(c) == offsets(a),
+      "offset state propagates through the chain unchanged")
+  }
+
   test("upstream schema evolution tracks onto the mirror; metadata-only " +
       "upstream movement stamps the sync point without reading data") {
     val up = IceTable.create(tmpDir("mir5-up"), numBuckets = 2)
