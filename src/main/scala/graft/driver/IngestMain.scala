@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
  *   IngestMain stream <tableDir> <logDir> <nEvents> [master]
  *   IngestMain changes <tableDir> <fromVersion> <toVersion|current> [outDir]
  *   IngestMain mirror <upstreamDir> <mirrorDir> [toVersion|current] [nLogParts]
+ *   IngestMain mirror-follow <upstreamDir> <mirrorDir> [pollMs] [maxIdlePolls] [nLogParts]
  */
 object IngestMain {
   def main(args: Array[String]): Unit = {
@@ -155,6 +156,21 @@ object IngestMain {
         println(s"mode=mirror from=${o.fromVersion} to=${o.toVersion} " +
           s"mirror_version=${o.mirrorVersion} full_sync=${o.fullSync} " +
           s"stats=${o.stats.getOrElse("none")} " +
+          s"rows=${mir.read(spark).count()}")
+      case "mirror-follow" =>
+        // continuous replication: poll-and-sync until the upstream goes
+        // idle for maxIdlePolls polls (MirrorJob.follow scaladoc).
+        // Usage: mirror-follow <upstreamDir> <mirrorDir> [pollMs]
+        //   [maxIdlePolls] [nLogParts]
+        val Array(_, upDir, mirDir) = args.take(3)
+        val up = IceTable.create(upDir)
+        val mir = IceTable.create(mirDir, numBuckets = up.numBuckets)
+        val outs = MirrorJob.follow(spark, up, mir,
+          nLogPartitions = args.lift(5).map(_.toInt).getOrElse(32),
+          pollMs = args.lift(3).map(_.toLong).getOrElse(1000L),
+          maxIdlePolls = args.lift(4).map(_.toInt).getOrElse(3))
+        println(s"mode=mirror-follow syncs=${outs.size} " +
+          s"to=${outs.lastOption.map(_.toVersion).getOrElse(-1L)} " +
           s"rows=${mir.read(spark).count()}")
       case "history" =>
         // snapshot history (time-travel / retention planning surface)

@@ -155,6 +155,35 @@ object MirrorJob {
     MirrorOutcome(vFrom, vTo, mv, fullSync = vFrom < 0, Some(out.stats))
   }
 
+  /** CONTINUOUS replication: poll the upstream and sync whenever it has
+    * moved past the mirror's recorded sync point; stop after
+    * `maxIdlePolls` consecutive polls with no movement (pass
+    * `Int.MaxValue` to follow until the process is stopped — the
+    * run-until-shutdown posture of the reference's streaming execution
+    * model, ExecutionModel.java:28-32). The movement probe is one
+    * metadata listing (`currentVersion`), so an idle follower costs no
+    * data IO; each applied sync is the normal incremental
+    * O(changed buckets) path. Returns the applied syncs' outcomes. */
+  def follow(spark: SparkSession, upstream: IceTable, mirror: IceTable,
+             nLogPartitions: Int = 32, pollMs: Long = 1000L,
+             maxIdlePolls: Int = 3): Seq[MirrorOutcome] = {
+    val outs = scala.collection.mutable.ArrayBuffer.empty[MirrorOutcome]
+    var idle = 0
+    while (idle < maxIdlePolls) {
+      val vUp = upstream.currentVersion()
+      val atPoint = mirror.currentManifest().map(_.epochId).getOrElse(-1L)
+      if (vUp >= 0 && vUp != atPoint) {
+        outs += sync(spark, upstream, mirror, nLogPartitions,
+          toVersion = Some(vUp))
+        idle = 0
+      } else {
+        idle += 1
+        if (idle < maxIdlePolls) Thread.sleep(pollMs)
+      }
+    }
+    outs.toSeq
+  }
+
   private def normalized(m: Map[Int, Seq[(Long, Long)]])
       : Map[Int, Seq[(Long, Long)]] =
     m.map { case (p, ivs) => p -> Intervals.normalize(ivs) }

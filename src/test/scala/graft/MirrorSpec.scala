@@ -204,6 +204,45 @@ class MirrorSpec extends SparkSpec {
       "offset state propagates through the chain unchanged")
   }
 
+  test("follow: catches up on backlog, goes idle, and resumes when the " +
+      "upstream moves — including under a concurrent upstream writer") {
+    val up = IceTable.create(tmpDir("mir7-up"), numBuckets = 2)
+    val mir = IceTable.create(tmpDir("mir7-m"), numBuckets = 2)
+    // empty upstream: pure idle polls, no syncs, no mirror commits
+    assert(MirrorJob.follow(spark, up, mir, nLogPartitions = N,
+      pollMs = 1L, maxIdlePolls = 2).isEmpty)
+    assert(mir.currentVersion() == -1L)
+    // backlog of two epochs: one catch-up sync (single delta), then idle
+    apply(up, 0, 0, 2, ev("i", 1, "r0", "a", "A"))
+    apply(up, 1, 2, 4, ev("u", 3, "r0", "a", "A2"),
+      ev("i", 4, "r1", "b", "B"))
+    val outs1 = MirrorJob.follow(spark, up, mir, nLogPartitions = N,
+      pollMs = 1L, maxIdlePolls = 2)
+    assert(outs1.size == 1 && outs1.head.fullSync, "backlog = one bootstrap")
+    assertConverged(up, mir)
+    // concurrent writer: epochs land WHILE the follower polls; every one
+    // must be picked up incrementally before the idle budget runs out
+    val writer = new Thread(() => {
+      (2 to 4).foreach { e =>
+        Thread.sleep(150L)
+        apply(up, e, 2L * e, 2L * e + 2,
+          ev("i", 2L * e + 1, s"r$e", "f", s"C$e"))
+      }
+    })
+    writer.start()
+    try {
+      // idle budget 5 s (100 × 50 ms): must outlast the writer's commit
+      // latency so the follower never gives up between concurrent epochs
+      val outs2 = MirrorJob.follow(spark, up, mir, nLogPartitions = N,
+        pollMs = 50L, maxIdlePolls = 100)
+      assert(outs2.nonEmpty && outs2.forall(!_.fullSync),
+        s"concurrent epochs must sync incrementally, got $outs2")
+    } finally writer.join()
+    assertConverged(up, mir)
+    assert(state(mir).count(_._3.startsWith("C")) == 3,
+      "all concurrently written epochs must reach the mirror")
+  }
+
   test("upstream schema evolution tracks onto the mirror; metadata-only " +
       "upstream movement stamps the sync point without reading data") {
     val up = IceTable.create(tmpDir("mir5-up"), numBuckets = 2)
