@@ -145,14 +145,17 @@ object IngestMain {
       case "mirror" =>
         // replicate a published table into a downstream replica via the
         // change feed (dataset-replication analog; MirrorJob scaladoc).
-        // Usage: mirror <upstreamDir> <mirrorDir> [toVersion|current] [nLogParts]
+        // Usage: mirror <upstreamDir> <mirrorDir> [toVersion|current]
+        //   [nLogParts] [keyFilterSql]   e.g. "repo = 'r0'" for a
+        //   selective replica (predicate over repo/path only)
         val Array(_, upDir, mirDir) = args.take(3)
         val up = IceTable.create(upDir)
         val nlp = args.lift(4).map(_.toInt).getOrElse(32)
         val to = args.lift(3).filterNot(_ == "current").map(_.toLong)
         val mir = IceTable.create(mirDir, numBuckets = up.numBuckets)
         val o = MirrorJob.sync(spark, up, mir, nLogPartitions = nlp,
-          toVersion = to)
+          toVersion = to,
+          keyFilter = args.lift(5).map(org.apache.spark.sql.functions.expr))
         println(s"mode=mirror from=${o.fromVersion} to=${o.toVersion} " +
           s"mirror_version=${o.mirrorVersion} full_sync=${o.fullSync} " +
           s"stats=${o.stats.getOrElse("none")} " +

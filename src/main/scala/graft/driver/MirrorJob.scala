@@ -72,10 +72,21 @@ object MirrorJob {
     * upstream's current version). `nLogPartitions` MUST match the value the
     * upstream ingest runs with (it keys the per-partition offset universe
     * and the key→partition hash). Returns the sync outcome; no-op if the
-    * mirror is already at the target version. */
+    * mirror is already at the target version.
+    *
+    * `keyFilter` makes the replica SELECTIVE (the reference copy module's
+    * dataset-filter role): only keys matching the predicate — which must
+    * be over the KEY columns `repo`/`path` only, so a key's membership
+    * never changes — are applied; the mirror converges to "upstream
+    * restricted to the predicate". Claims stay FULL per partition (the
+    * sync observed the whole delta and dropped non-matching keys as a
+    * stable policy), so offset convergence, idempotence, and the trusted
+    * sync point work exactly as for a full mirror. A mirror must be
+    * synced with the SAME filter for life (like nLogPartitions). */
   def sync(spark: SparkSession, upstream: IceTable, mirror: IceTable,
            nLogPartitions: Int = 32,
-           toVersion: Option[Long] = None): MirrorOutcome = {
+           toVersion: Option[Long] = None,
+           keyFilter: Option[Column] = None): MirrorOutcome = {
     val vTo = toVersion.getOrElse(upstream.currentVersion())
     require(vTo >= 0, s"upstream ${upstream.dir} has no committed snapshot")
     val up2 = upstream.readManifest(vTo)
@@ -131,13 +142,17 @@ object MirrorJob {
     val topOfDelta: Map[Int, Long] =
       delta.map { case (p, ivs) => p -> ivs.map(_._2).max }
 
-    val feed: DataFrame =
+    val feed0: DataFrame =
       if (vFrom >= 0)
         changeFeedEvents(spark, upstream, vFrom, vTo, up2.schemaId,
           topOfDelta, nLogPartitions)
       else
         fullStateEvents(spark, upstream, mirror, up2, topOfDelta,
           nLogPartitions)
+    // selective replica: drop non-matching keys AFTER feed construction —
+    // correct for both paths (mirror-only deletes are matching keys by the
+    // mirror invariant; a filtered-to-empty delta still claims + stamps)
+    val feed = keyFilter.map(feed0.filter).getOrElse(feed0)
 
     import spark.implicits._
     val out = MergeEngine.applyEpoch(spark, mirror,
@@ -166,7 +181,8 @@ object MirrorJob {
     * O(changed buckets) path. Returns the applied syncs' outcomes. */
   def follow(spark: SparkSession, upstream: IceTable, mirror: IceTable,
              nLogPartitions: Int = 32, pollMs: Long = 1000L,
-             maxIdlePolls: Int = 3): Seq[MirrorOutcome] = {
+             maxIdlePolls: Int = 3,
+             keyFilter: Option[Column] = None): Seq[MirrorOutcome] = {
     val outs = scala.collection.mutable.ArrayBuffer.empty[MirrorOutcome]
     var idle = 0
     while (idle < maxIdlePolls) {
@@ -174,7 +190,7 @@ object MirrorJob {
       val atPoint = mirror.currentManifest().map(_.epochId).getOrElse(-1L)
       if (vUp >= 0 && vUp != atPoint) {
         outs += sync(spark, upstream, mirror, nLogPartitions,
-          toVersion = Some(vUp))
+          toVersion = Some(vUp), keyFilter = keyFilter)
         idle = 0
       } else {
         idle += 1

@@ -243,6 +243,42 @@ class MirrorSpec extends SparkSpec {
       "all concurrently written epochs must reach the mirror")
   }
 
+  test("selective replica: keyFilter mirrors only matching keys while " +
+      "offsets converge to the upstream's (stable partial replication)") {
+    val up = IceTable.create(tmpDir("mir8-up"), numBuckets = 2)
+    val mir = IceTable.create(tmpDir("mir8-m"), numBuckets = 2)
+    val f = Some(col("repo") === "r0")
+    def filteredUp = state(up).filter(_._1 == "r0")
+    apply(up, 0, 0, 3,
+      ev("i", 1, "r0", "a", "A"),
+      ev("i", 2, "r1", "b", "B"),
+      ev("i", 3, "r0", "c", "C"))
+    val o1 = MirrorJob.sync(spark, up, mir, nLogPartitions = N, keyFilter = f)
+    assert(o1.fullSync)
+    assert(state(mir) == filteredUp, "bootstrap replicates only r0 keys")
+    assert(offsets(mir) == offsets(up),
+      "claims stay FULL per partition on a selective replica")
+    // incremental window: matching update, matching delete, non-matching
+    // insert — only the first two may reach the replica
+    apply(up, 1, 3, 6,
+      ev("u", 4, "r0", "a", "A2"),
+      ev("d", 5, "r0", "c", ""),
+      ev("i", 6, "r1", "d", "D"))
+    val o2 = MirrorJob.sync(spark, up, mir, nLogPartitions = N, keyFilter = f)
+    assert(!o2.fullSync, "selective syncs stay incremental")
+    assert(state(mir) == filteredUp)
+    assert(offsets(mir) == offsets(up))
+    // a window whose every change is filtered out still claims the delta
+    // and stamps the sync point (the NEXT sync diffs from here)
+    apply(up, 2, 6, 7, ev("i", 7, "r1", "e", "E"))
+    val o3 = MirrorJob.sync(spark, up, mir, nLogPartitions = N, keyFilter = f)
+    assert(!o3.fullSync)
+    assert(mir.currentManifest().get.epochId == up.currentVersion(),
+      "filtered-to-empty window must still advance the sync point")
+    assert(offsets(mir) == offsets(up))
+    assert(state(mir) == filteredUp)
+  }
+
   test("upstream schema evolution tracks onto the mirror; metadata-only " +
       "upstream movement stamps the sync point without reading data") {
     val up = IceTable.create(tmpDir("mir5-up"), numBuckets = 2)
