@@ -111,14 +111,19 @@ object MirrorJob {
     if (up2.schemaId > mSchema)
       ((mSchema + 1) to up2.schemaId).foreach(mirror.evolveSchema(_))
 
-    // trusted sync point: recorded epochId, retained upstream, offsets equal
+    // trusted sync point: recorded epochId, retained upstream, offsets
+    // equal. Retention is probed by reading THAT version's header directly
+    // (missing ⇒ expired ⇒ untrusted) — one metadata read, not an
+    // O(versions) history listing: a second-granularity follower pays this
+    // check on every applied sync.
     val vFrom: Long = mParent.map(_.epochId).filter { v =>
-      v >= 0 && v <= vTo &&
-        upstream.history().exists(_.version == v) && {
+      v >= 0 && v <= vTo && {
+        try {
           val atV = MergeEngine.committedIntervals(
             Some(upstream.readManifestHeader(v)))
           normalized(atV) == normalized(mirIv)
-        }
+        } catch { case _: java.io.FileNotFoundException => false }
+      }
     }.getOrElse(-1L)
     if (vFrom == vTo)
       return MirrorOutcome(vFrom, vTo, mirror.currentVersion(),

@@ -243,6 +243,25 @@ class MirrorSpec extends SparkSpec {
       "all concurrently written epochs must reach the mirror")
   }
 
+  test("upstream retention expiring the recorded sync point forces a " +
+      "full resync (one header probe, no history listing)") {
+    val up = IceTable.create(tmpDir("mir9-up"), numBuckets = 2)
+    val mir = IceTable.create(tmpDir("mir9-m"), numBuckets = 2)
+    apply(up, 0, 0, 2, ev("i", 1, "r0", "a", "A"))
+    sync(up, mir)
+    apply(up, 1, 2, 3, ev("u", 3, "r0", "a", "A2"))
+    apply(up, 2, 3, 4, ev("i", 4, "r1", "b", "B"))
+    up.expireSnapshots(keepLast = 1)
+    val o = sync(up, mir)
+    assert(o.fullSync,
+      "expired sync-point version must fall back to a full resync")
+    assertConverged(up, mir)
+    // healed: the stamped point is the retained current version
+    apply(up, 3, 4, 5, ev("i", 5, "r2", "c", "C"))
+    assert(!sync(up, mir).fullSync, "resync heals back to incremental")
+    assertConverged(up, mir)
+  }
+
   test("selective replica: keyFilter mirrors only matching keys while " +
       "offsets converge to the upstream's (stable partial replication)") {
     val up = IceTable.create(tmpDir("mir8-up"), numBuckets = 2)
