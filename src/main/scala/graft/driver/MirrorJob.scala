@@ -39,7 +39,12 @@ import org.apache.spark.sql.functions._
  *    committed offsets equal the mirror's — anything else (mirror
  *    compaction overwrote epochId, upstream retention expired the version,
  *    out-of-band writes) falls back to a FULL state resync, which heals
- *    every divergence by construction.
+ *    every divergence a resync CAN heal: every upstream-held key converges
+ *    unconditionally; a mirror-only key (tombstone purged upstream) needs a
+ *    substitute delete seq from the key's partition's claim delta, and when
+ *    that delta is EMPTY — the mirror's offsets not behind the upstream's —
+ *    the resync fails loudly instead of silently leaving the divergence
+ *    (see [[deleteSeqOrFail]]).
  *  - PURGED-TOMBSTONE deletes: a key deleted AND horizon-purged inside the
  *    sync window diffs as (live, absent) — the tombstone's seq is gone.
  *    The sync substitutes the top of the key's partition's claim delta:
@@ -147,13 +152,14 @@ object MirrorJob {
     val topOfDelta: Map[Int, Long] =
       delta.map { case (p, ivs) => p -> ivs.map(_._2).max }
 
-    val feed0: DataFrame =
+    val (feed0, cleanup): (DataFrame, () => Unit) =
       if (vFrom >= 0)
-        changeFeedEvents(spark, upstream, vFrom, vTo, up2.schemaId,
-          topOfDelta, nLogPartitions)
+        (changeFeedEvents(spark, upstream, vFrom, vTo, up2.schemaId,
+          topOfDelta, nLogPartitions), () => ())
       else
         fullStateEvents(spark, upstream, mirror, up2, topOfDelta,
           nLogPartitions)
+    try {
     // selective replica: drop non-matching keys AFTER feed construction —
     // correct for both paths (mirror-only deletes are matching keys by the
     // mirror invariant; a filtered-to-empty delta still claims + stamps)
@@ -173,6 +179,7 @@ object MirrorJob {
     val mv = if (out.manifest.epochId == vTo) out.manifest.version
              else stampSyncPoint(mirror, vTo)
     MirrorOutcome(vFrom, vTo, mv, fullSync = vFrom < 0, Some(out.stats))
+    } finally cleanup()
   }
 
   /** CONTINUOUS replication: poll the upstream and sync whenever it has
@@ -265,13 +272,50 @@ object MirrorJob {
         .as("content"))
   }
 
+  /** Substitute seq for a MIRROR-ONLY-KEY delete in the full resync: the
+    * top of the key's partition's claim delta. When that partition's delta
+    * is EMPTY the resync FAILS LOUDLY instead of guessing: an empty delta
+    * means the mirror's committed offsets already cover the upstream's for
+    * that partition, so any substitute either sits inside the mirror's
+    * committed set (the fence drops it — the old Long.MinValue fallback
+    * silently lost LWW the same way) or above it (an unclaimed seq that can
+    * collide with future upstream seqs). A mirror whose offsets are AHEAD
+    * of its upstream while holding keys the upstream lacks is not a mirror
+    * of this upstream — no mechanical resync heals it; rebuild the replica.
+    * The error is raised per offending ROW (raise_error inside the plan),
+    * so a resync with no such keys never pays or sees it. */
+  private def deleteSeqOrFail(topOfDelta: Map[Int, Long],
+                              nLogPartitions: Int): Column = {
+    val sub: Column =
+      if (topOfDelta.isEmpty) lit(null).cast("long")
+      else {
+        val kvs = topOfDelta.toSeq.flatMap { case (p, s) => Seq(lit(p), lit(s)) }
+        element_at(map(kvs: _*), MergeEngine.logPartitionCol(nLogPartitions))
+      }
+    when(sub.isNull, raise_error(concat(
+      lit("mirror full resync cannot heal divergence: mirror-only key ("),
+      col("repo"), lit(", "), col("path"),
+      lit(") hashes to a log partition with an EMPTY claim delta — the " +
+        "mirror's committed offsets are not behind the upstream's there, " +
+        "so no substitute delete seq can both pass the fence and win LWW; " +
+        "this replica is not a mirror of this upstream (rebuild it)")))
+      .cast("long"))
+      .otherwise(sub)
+  }
+
   /** Recovery feed: the upstream's full raw state (live rows as upserts,
     * surviving tombstones as deletes with their own seqs) plus deletes for
     * mirror-live keys the upstream no longer knows (tombstones purged
-    * before the resync). O(both tables) — bootstrap/repair only. */
+    * before the resync). O(both tables) — bootstrap/repair only. ONE
+    * upstream scan: the projected event view is persisted and feeds both
+    * the event stream and the anti-join key side (without the persist,
+    * Catalyst plans two scans of the same files — self-referencing
+    * branches don't CSE). Returns the feed plus the unpersist cleanup the
+    * caller runs after the sync's actions complete. */
   private def fullStateEvents(spark: SparkSession, upstream: IceTable,
       mirror: IceTable, up2: graft.model.EpochManifest,
-      topOfDelta: Map[Int, Long], nLogPartitions: Int): DataFrame = {
+      topOfDelta: Map[Int, Long], nLogPartitions: Int)
+      : (DataFrame, () => Unit) = {
     val isDel = coalesce(col("deleted"), lit(false))
     val upEv = upstream.readFiles(spark, up2.files, up2.schemaId)
       .select(
@@ -283,15 +327,15 @@ object MirrorJob {
         when(isDel, lit(""))
           .otherwise(coalesce(payloadCol(up2.schemaId, 5), lit("")))
           .as("content"))
-    val upKeys = upstream.readFiles(spark, up2.files, up2.schemaId)
-      .select(col("repo"), col("path"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mirrorOnlyDels = mirror.read(spark)
       .select(col("repo"), col("path"))
-      .join(upKeys, Seq("repo", "path"), "left_anti")
+      .join(upEv.select(col("repo"), col("path")),
+        Seq("repo", "path"), "left_anti")
       .select(lit("d").as("op"),
-        topOfDeltaCol(topOfDelta, nLogPartitions).as("seq"),
+        deleteSeqOrFail(topOfDelta, nLogPartitions).as("seq"),
         col("repo"), col("path"),
         lit("").as("commit"), lit("").as("lang"), lit("").as("content"))
-    upEv.unionByName(mirrorOnlyDels)
+    (upEv.unionByName(mirrorOnlyDels), () => { upEv.unpersist(); () })
   }
 }

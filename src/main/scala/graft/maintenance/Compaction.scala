@@ -145,7 +145,14 @@ object Compaction {
       epochId = compactionEpochId,
       files = (carried ++ counted).sortBy(f => (f.bucket, f.path)),
       stats = EpochStats(0, 0, 0, 0, 0, 0),
-      parentVersion = parent.version)
+      parentVersion = parent.version,
+      // stamp the purge mark iff tombstone rows actually vanished: the
+      // change feed uses the mark's MOVEMENT between two versions as the
+      // (metadata-only) proof that a key may have gone live→absent inside
+      // that window and the removed-file delete synthesis must run
+      purgedBelowSeq =
+        if (purged > 0) math.max(parent.purgedBelowSeq, horizon)
+        else parent.purgedBelowSeq)
     val committed = table.commit(manifest)
     graft.metrics.Metrics.emit("graft.maintenance", "CompactionFinished", Map(
       "table" -> table.dir,

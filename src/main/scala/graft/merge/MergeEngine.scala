@@ -802,7 +802,10 @@ object MergeEngine {
       completeUntilSeq = math.max(
         parent.map(_.completeUntilSeq).getOrElse(Long.MinValue),
         Intervals.contiguousOriginPrefix(offsetsNow)),
-      numBuckets = nBuckets)
+      numBuckets = nBuckets,
+      // purge mark is table history, not epoch output — carry it (a reset
+      // would hide a purge from a change-feed window spanning this commit)
+      purgedBelowSeq = parent.map(_.purgedBelowSeq).getOrElse(Long.MinValue))
 
     // --- 6. task-level policy gate: abort (no commit) on failure ---------
     graft.pipeline.TaskPolicies.enforce(taskPolicies, stats)

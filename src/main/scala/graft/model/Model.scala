@@ -122,6 +122,16 @@ final case class EpochManifest(
     // table's commit cost flat. IceTable.readManifest resolves segments
     // back into `files`, so the rest of the engine never sees the split.
     fileSegs: Seq[String] = Nil,
+    // Monotone high-water mark of TOMBSTONE PURGES: compaction stamps the
+    // safe horizon it purged at whenever it actually removed tombstone rows
+    // (Long.MinValue = no purge ever / legacy manifest). The change feed
+    // compares the two endpoint manifests' marks to decide whether a key
+    // can have gone live→absent inside a window (delete committed AND
+    // purged between the versions) — only then does it pay for the
+    // removed-file key diff that synthesizes those deletes; windows with no
+    // purge (the overwhelming norm) prove the absence of such keys from
+    // metadata alone.
+    purgedBelowSeq: Long = Long.MinValue,
     // Header-level file-list summary, stamped by IceTable.commit at publish:
     // lets history()/versionAsOf() answer metadata questions WITHOUT
     // resolving segment files (on a long-history segmented table resolving

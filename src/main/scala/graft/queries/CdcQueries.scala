@@ -261,6 +261,9 @@ object CdcQueries {
       s.conf.set("spark.sql.catalog.graftq.dir", catDir)
       s.read.option("startingVersion", vA.toString)
         .table("graftq.commits.changes")
+        // metadata columns (_commit_version/_schema_id) are run-dependent
+        // plumbing for feed-driven consumers, not part of the value oracle
+        .drop(ChangeFeed.CommitVersionCol, ChangeFeed.SchemaIdCol)
         .orderBy("repo", "path")
     }),
 

@@ -513,7 +513,17 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     *                 a compaction/no-op rewrite that preserves state is NOT
     *                 a change); NEW image (postimage).
     *   - `delete`  — live before, tombstoned after; OLD image (preimage),
-    *                 `seq` = the tombstone's seq.
+    *                 `seq` = the tombstone's seq — EXCEPT when the tombstone
+    *                 was committed AND horizon-purged inside the diff window:
+    *                 the key then diffs as (live, absent) and the emitted
+    *                 delete row carries `seq` NULL (the tombstone's seq is
+    *                 unrecoverable from either manifest). Direct consumers
+    *                 must treat a NULL-seq delete as "deleted at some seq
+    *                 inside (fromVersion, toVersion]'s committed delta" and
+    *                 substitute an upper bound themselves — MirrorJob
+    *                 coalesces with the top of the key's partition's claim
+    *                 delta, which is the safe choice (≥ the lost seq, outside
+    *                 the consumer's committed set).
     *
     * Scale shape: only files whose PATH differs between the two manifests
     * are read — data files are immutable and content-addressed by path, so
@@ -650,6 +660,35 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
       .filter(s => now - s.getModificationTime >= orphanSegGraceMillis)
       .toSeq
     if (orphanCandidates.nonEmpty) {
+      // The adoption-race defence below leans on commit()'s ADOPTION TOUCH
+      // (writeFileSeg setTimes refresh restarting the grace window). On a
+      // store where setTimes is a silent no-op the touch never lands, and
+      // the ordering  sweep-relist < commit-CAS < commit-re-verify <
+      // sweep-delete  would delete a segment a LISTED snapshot references
+      // with nothing left to re-publish it. PROBE the store once per sweep:
+      // write a scratch file, set its mtime into the past, read it back —
+      // if the store ignored the call, skip orphan deletion entirely (the
+      // strands survive until the table moves to a touch-capable store or
+      // the operator cleans by hand; correctness beats reclamation).
+      val touchSupported: Boolean = {
+        val probe = new HPath(metaDir, s".touchprobe-${System.nanoTime()}")
+        try {
+          val out = f.create(probe, false)
+          try out.write(Array[Byte](0)) finally out.close()
+          val target = System.currentTimeMillis() - 2 * orphanSegGraceMillis
+          try f.setTimes(probe, target, -1L)
+          catch { case _: Exception => () }
+          math.abs(f.getFileStatus(probe).getModificationTime - target) <
+            orphanSegGraceMillis / 2
+        } catch { case _: Exception => false }
+        finally { try f.delete(probe, false) catch { case _: Exception => () } }
+      }
+      if (!touchSupported) {
+        System.err.println(s"[graft] orphan fseg sweep SKIPPED for $dir: " +
+          "store does not honor setTimes, so the adoption-touch protocol " +
+          s"cannot protect racing commits (${orphanCandidates.size} " +
+          "candidate strands left in place)")
+      } else {
       // PRE-DELETE double-check against the adoption race: a commit that
       // ADOPTS a stale strand (write-if-absent reuse) may have CAS'd after
       // our header pass. Re-list for NEW snapshot versions and exclude
@@ -658,21 +697,32 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
       // means "claimed, not orphaned". (commit() additionally re-verifies
       // its segments post-CAS and re-publishes, so even a loss here heals.)
       val known = versions.toSet
-      val newRefs: Set[String] = listVersions().filterNot(known)
+      def freshSnapshotRefs(): Set[String] = listVersions().filterNot(known)
         .flatMap(v =>
           try readManifestHeader(v).fileSegs
           catch { case _: java.io.FileNotFoundException => Nil })
         .map(p => new HPath(p).getName).toSet
+      val newRefs: Set[String] = freshSnapshotRefs()
       val now2 = System.currentTimeMillis()
-      orphanCandidates
+      val survivors = orphanCandidates
         .filter(s => !newRefs.contains(s.getPath.getName))
-        .foreach { s =>
-          val fresh =
-            try now2 - f.getFileStatus(s.getPath).getModificationTime >=
-              orphanSegGraceMillis
-            catch { case _: java.io.FileNotFoundException => false }
-          if (fresh) f.delete(s.getPath, false)
+        .filter { s =>
+          try now2 - f.getFileStatus(s.getPath).getModificationTime >=
+            orphanSegGraceMillis
+          catch { case _: java.io.FileNotFoundException => false }
         }
+      if (survivors.nonEmpty) {
+        // one FINAL re-list after the mtime pass, immediately before the
+        // deletes: an adopting commit that CAS'd between the first re-list
+        // and here is now visible as a new snapshot version and excluded
+        // (its touch also reset the mtime, but belt-and-braces costs one
+        // listing on a path that only runs when strands exist)
+        val lastRefs = freshSnapshotRefs()
+        survivors
+          .filterNot(s => lastRefs.contains(s.getPath.getName))
+          .foreach(s => f.delete(s.getPath, false))
+      }
+      }
     }
     if (expired.isEmpty) return (0, 0)
     // resolve file lists: STRICT for retained versions (a retained snapshot

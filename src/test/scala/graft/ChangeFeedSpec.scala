@@ -54,9 +54,16 @@ class ChangeFeedSpec extends SparkSpec {
     withCatalog("cf1", catDir) {
       val df = spark.sql("SELECT * FROM cf1.commits.changes")
       assert(df.columns.toSeq == Seq("op", "seq", "repo", "path", "commit",
-        "lang", "content", "contentSha"),
-        s"feed columns must be op, seq, then the user view: " +
+        "lang", "content", "contentSha", "_commit_version", "_schema_id"),
+        s"feed columns must be op, seq, the user view, then metadata: " +
           s"${df.columns.toSeq}")
+      // metadata columns: batch-from-origin stamps the END version on
+      // every row; the schema id is the load-time vintage
+      assert(df.select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(t.currentVersion()))
+      assert(df.select("_schema_id").distinct().collect()
+        .map(_.getInt(0)).toSeq ==
+        Seq(t.currentManifest().get.schemaId))
       val rows = df.collect().map(r => (r.getAs[String]("op"),
         r.getAs[Long]("seq"), r.getAs[String]("repo"),
         r.getAs[String]("path"))).toSet
@@ -164,6 +171,140 @@ class ChangeFeedSpec extends SparkSpec {
       val second = tail()
       assert(second == Set(("u", 3L, "a"), ("d", 4L, "b")),
         s"restart must resume from the checkpointed version, got $second")
+    }
+  }
+
+  test("delete committed AND purged inside one feed window still emits " +
+      "'d' (synthesized from the removed files); a window starting after " +
+      "the delete emits nothing") {
+    val catDir = tmpDir("cfeed6cat")
+    val t = IceTable.create(tmpDir("cfeed6tab"), numBuckets = 2)
+    // origin-anchored claims (lowSeq -1 = seq 0 onward) so the safe
+    // horizon can advance and the purge actually fires
+    apply(t, 0, -1, 3,
+      ev("i", 1, "r0", "a", "A1"),
+      ev("i", 2, "r1", "b", "B1"),
+      ev("i", 3, "r0", "c", "C1"))
+    val vA = t.currentVersion()
+    apply(t, 1, 3, 4, ev("d", 4, "r0", "a", "")) // tombstone committed
+    val vB = t.currentVersion()
+    Compaction.compact(spark, t) // full pass: purges the tombstone (horizon 4)
+    val vC = t.currentVersion()
+    assert(t.readManifest(vC).purgedBelowSeq >= 4L,
+      "compaction must stamp the purge mark it purged at")
+    assert(t.readManifest(vB).purgedBelowSeq == Long.MinValue,
+      "pre-purge manifests carry no mark")
+    GraftCatalog.create(catDir).register("commits", t.dir)
+    withCatalog("cf6", catDir) {
+      // window spanning BOTH the delete commit and the purge: the key went
+      // live→absent with no surviving tombstone row — the synthesized 'd'
+      // (NULL seq, NULL payload) is the only correct emission
+      val rows = spark.read.option("startingVersion", vA.toString)
+        .table("cf6.commits.changes").collect()
+        .map(r => (r.getAs[String]("op"), r.getAs[String]("repo"),
+          r.getAs[String]("path"),
+          if (r.isNullAt(r.fieldIndex("seq"))) -1L else r.getAs[Long]("seq"),
+          r.getAs[Long]("_commit_version"))).toSet
+      assert(rows == Set(("d", "r0", "a", -1L, vC)),
+        s"live→absent key must synthesize a delete, got $rows")
+      // window starting AFTER the delete commit: the consumer's start
+      // state already excludes the key (it was tombstoned at vB) — the
+      // purge is state-preserving from its viewpoint, nothing emits
+      assert(spark.read.option("startingVersion", vB.toString)
+        .table("cf6.commits.changes").count() == 0L,
+        "a purge of an already-seen delete must emit nothing")
+    }
+  }
+
+  test("admission control: a multi-commit backlog drains in bounded " +
+      "batches; checkpointed resume mid-backlog stays exact") {
+    val catDir = tmpDir("cfeed7cat")
+    val ckpt = tmpDir("cfeed7ckpt")
+    val t = IceTable.create(tmpDir("cfeed7tab"), numBuckets = 2)
+    def commitN(e: Long): Unit =
+      apply(t, e, e, e + 1, ev("i", e + 1, s"r$e", s"p$e", s"C$e"))
+    (0L until 6L).foreach(commitN)
+    assert(t.currentVersion() == 5L)
+    GraftCatalog.create(catDir).register("commits", t.dir)
+    withCatalog("cf7", catDir) {
+      final case class B(rows: Set[(String, Long)], maxVer: Long)
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[B]()
+      def drain(opts: Map[String, String]): Unit = {
+        var r = spark.readStream
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        val q = r.table("cf7.commits.changes").writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.collect()
+            if (rows.nonEmpty) batches.add(B(
+              rows.map(x => (x.getAs[String]("path"),
+                x.getAs[Long]("seq"))).toSet,
+              rows.map(_.getAs[Long]("_commit_version")).max))
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // one version per trigger: the 6-commit backlog must arrive as 6
+      // batches whose _commit_version stamps strictly increase — exact
+      // per-commit resolution under maxVersionsPerTrigger=1
+      drain(Map("maxVersionsPerTrigger" -> "1"))
+      import scala.jdk.CollectionConverters._
+      val first = batches.asScala.toSeq
+      assert(first.size == 6, s"expected 6 bounded batches, got " +
+        s"${first.size}: $first")
+      assert(first.map(_.maxVer) == (0L to 5L),
+        s"batch end versions must step one commit at a time: $first")
+      // mid-backlog resume: four more commits land while the stream is
+      // down; restarting from the SAME checkpoint with a files cap drains
+      // them in bounded batches, no duplicates, no loss
+      batches.clear()
+      (6L until 10L).foreach(commitN)
+      drain(Map("maxFilesPerTrigger" -> "1"))
+      val second = batches.asScala.toSeq
+      assert(second.size >= 2, s"a files-capped backlog must split: $second")
+      assert(second.flatMap(_.rows).toSet ==
+        (6L until 10L).map(e => (s"p$e", e + 1)).toSet,
+        s"resume must deliver exactly the new commits: $second")
+    }
+  }
+
+  test("schema drift signal: a running stream keeps its pinned vintage " +
+      "and _schema_id exposes the drift; a fresh load picks up the " +
+      "evolved schema") {
+    val catDir = tmpDir("cfeed8cat")
+    val ckpt = tmpDir("cfeed8ckpt")
+    val t = IceTable.create(tmpDir("cfeed8tab"), numBuckets = 2)
+    apply(t, 0, 0, 1, ev("i", 1, "r0", "a", "A1"))
+    GraftCatalog.create(catDir).register("commits", t.dir)
+    withCatalog("cf8", catDir) {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+      val q = spark.readStream.table("cf8.commits.changes").writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add(
+            (r.getAs[Long]("seq"), r.getAs[Int]("_schema_id"))))
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        // upstream evolves mid-stream and commits new data
+        t.evolveSchema(2)
+        apply(t, 1, 1, 2, ev("u", 2, "r0", "a", "A2"))
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val rows = seen.asScala.toSet
+      // post-evolution rows still arrive (newer-vintage files project back
+      // by colId) and still carry the PINNED vintage id — while the
+      // table's current schema id has moved: the restart-to-pick-up-drift
+      // signal the contract documents
+      assert(rows == Set((1L, 1), (2L, 1)), s"got $rows")
+      assert(t.currentManifest().get.schemaId == 2)
+      // a fresh load pins the evolved schema: new column present, id = 2
+      val fresh = spark.sql("SELECT * FROM cf8.commits.changes")
+      assert(fresh.columns.contains("sizeBytes"),
+        s"fresh feed must expose the evolved column: ${fresh.columns.toSeq}")
+      assert(fresh.select("_schema_id").distinct().collect()
+        .map(_.getInt(0)).toSeq == Seq(2))
     }
   }
 
