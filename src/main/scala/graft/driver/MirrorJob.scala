@@ -182,6 +182,122 @@ object MirrorJob {
     } finally cleanup()
   }
 
+  /** STRUCTURED-STREAMING replication: drive the mirror from the
+    * upstream's `.changes` feed table (ChangeFeedTable) instead of the
+    * [[follow]] poll loop — the follower gets Spark's checkpointing,
+    * triggers, admission control, and progress metrics for free:
+    *
+    * {{{
+    *   // catalog conf set + upstream registered as <feedTable>'s base
+    *   val q = MirrorJob.followStream(spark, "graft.commits.changes",
+    *     upstream, mirror, ckptDir, nLogPartitions = 32,
+    *     options = Map("maxVersionsPerTrigger" -> "16"))
+    *   q.awaitTermination()
+    * }}}
+    *
+    * Each micro-batch applies the SAME per-partition claim-delta merge as
+    * [[sync]]: the batch's end version comes off the feed's
+    * `_commit_version` metadata column, the claim delta is the upstream's
+    * committed intervals at that version minus the mirror's own, and
+    * NULL-seq deletes (tombstones purged inside the batch window — the
+    * feed synthesizes them) take the substitute seq from the delta top
+    * ([[deleteSeqOrFail]]: provably inside the claimed window). A
+    * redelivered batch (restart between mirror commit and checkpoint
+    * write) is fully fenced and only re-stamps the sync point —
+    * exactly-once by the engine's own machinery, not the checkpoint's.
+    * Upstream schema evolution is tracked exactly as in [[sync]]
+    * (stepwise metadata-only evolution before the merge; the feed's
+    * pinned vintage keeps projecting, restart the stream to SERVE evolved
+    * columns downstream).
+    *
+    * The returned query is started; the caller owns await/stop. Backlog
+    * admission (`maxVersionsPerTrigger` / `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` in `options`) bounds each batch, so a follower
+    * resuming after a long outage converges in bounded steps. */
+  def followStream(spark: SparkSession, feedTable: String,
+      upstream: IceTable, mirror: IceTable, checkpointDir: String,
+      nLogPartitions: Int = 32,
+      options: Map[String, String] = Map.empty,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var r = spark.readStream
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    r.table(feedTable)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        applyFeedBatch(spark, upstream, mirror, batch, nLogPartitions)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One [[followStream]] micro-batch: claim-delta merge of the feed rows
+    * into the mirror. None = empty batch / redelivered batch (stamp only). */
+  private[graft] def applyFeedBatch(spark: SparkSession, upstream: IceTable,
+      mirror: IceTable, batch: org.apache.spark.sql.DataFrame,
+      nLogPartitions: Int): Option[MirrorOutcome] = {
+    import graft.table.ChangeFeed
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // end version + pinned vintage off the metadata columns (one small
+      // aggregate; the persisted batch feeds this and the merge)
+      val hdr = b.agg(
+        max(col(ChangeFeed.CommitVersionCol)),
+        max(col(ChangeFeed.SchemaIdCol))).head()
+      if (hdr.isNullAt(0)) return None // empty batch: no progress to record
+      val vTo = hdr.getLong(0)
+      val feedSchemaId = hdr.getInt(1)
+
+      val up2 = upstream.readManifestHeader(vTo) // offsets are header fields
+      val upIv = MergeEngine.committedIntervals(Some(up2))
+      val mParent = mirror.currentManifest()
+      val mirIv = MergeEngine.committedIntervals(mParent)
+
+      // mirror schema tracks the upstream's at vTo (metadata-only steps)
+      val mSchema = mParent.map(_.schemaId)
+        .getOrElse(SchemaRegistry.baseSchemaId)
+      require(up2.schemaId >= mSchema,
+        s"mirror schema $mSchema ahead of upstream ${up2.schemaId}")
+      if (up2.schemaId > mSchema)
+        ((mSchema + 1) to up2.schemaId).foreach(mirror.evolveSchema(_))
+
+      val delta: Map[Int, Seq[(Long, Long)]] = upIv.flatMap {
+        case (p, ivs) =>
+          val d = Intervals.subtract(ivs, mirIv.getOrElse(p, Nil))
+          if (d.isEmpty) None else Some(p -> d)
+      }
+      val topOfDelta: Map[Int, Long] =
+        delta.map { case (p, ivs) => p -> ivs.map(_._2).max }
+
+      // feed rows → ChangeEvent envelope under the batch's pinned vintage
+      val sch = SchemaRegistry.schemaFor(feedSchemaId)
+      def pc(colId: Int): Column = col(sch.byColId(colId).name)
+      val isDel = col("op") === "d"
+      val events = b.select(
+        col("op"),
+        when(col("seq").isNull, deleteSeqOrFail(topOfDelta, nLogPartitions))
+          .otherwise(col("seq")).as("seq"),
+        pc(1).as("repo"), pc(2).as("path"),
+        coalesce(pc(3), lit("")).as("commit"),
+        coalesce(pc(4), lit("")).as("lang"),
+        when(isDel, lit("")).otherwise(coalesce(pc(5), lit("")))
+          .as("content"))
+      import spark.implicits._
+      val out = MergeEngine.applyEpoch(spark, mirror,
+        events.as[ChangeEvent], epochId = vTo,
+        nLogPartitions = nLogPartitions,
+        rowPolicies = Nil, // upstream already policy-gated these rows
+        claimedSet = Some(delta))
+      val mv = if (out.manifest.epochId == vTo) out.manifest.version
+               else stampSyncPoint(mirror, vTo)
+      Some(MirrorOutcome(mParent.map(_.epochId).getOrElse(-1L), vTo, mv,
+        fullSync = false, Some(out.stats)))
+    } finally { b.unpersist(); () }
+  }
+
   /** CONTINUOUS replication: poll the upstream and sync whenever it has
     * moved past the mirror's recorded sync point; stop after
     * `maxIdlePolls` consecutive polls with no movement (pass
@@ -190,7 +306,9 @@ object MirrorJob {
     * model, ExecutionModel.java:28-32). The movement probe is one
     * metadata listing (`currentVersion`), so an idle follower costs no
     * data IO; each applied sync is the normal incremental
-    * O(changed buckets) path. Returns the applied syncs' outcomes. */
+    * O(changed buckets) path. For a follower that should instead ride
+    * Spark's checkpoint/trigger machinery, see [[followStream]]. Returns
+    * the applied syncs' outcomes. */
   def follow(spark: SparkSession, upstream: IceTable, mirror: IceTable,
              nLogPartitions: Int = 32, pollMs: Long = 1000L,
              maxIdlePolls: Int = 3,
@@ -234,25 +352,12 @@ object MirrorJob {
   private def payloadCol(schemaId: Int, colId: Int): Column =
     col(SchemaRegistry.schemaFor(schemaId).byColId(colId).name)
 
-  /** `element_at` over a small literal map partition→seq (≤ nLogPartitions
-    * entries — stays a codegen'd expression, no join, no broadcast). */
-  private def topOfDeltaCol(topOfDelta: Map[Int, Long],
-                            nLogPartitions: Int): Column =
-    if (topOfDelta.isEmpty) lit(Long.MinValue)
-    else {
-      val kvs = topOfDelta.toSeq.flatMap { case (p, s) =>
-        Seq(lit(p), lit(s))
-      }
-      coalesce(
-        element_at(map(kvs: _*),
-          MergeEngine.logPartitionCol(nLogPartitions)),
-        lit(Long.MinValue))
-    }
-
   /** Incremental feed: the upstream's changesBetween mapped to ChangeEvent
     * shape (insert/update → i/u with postimage; delete → d with the
     * tombstone seq, or the partition's delta top if the tombstone purged
-    * inside the window). */
+    * inside the window — [[deleteSeqOrFail]]; on a trusted sync point the
+    * purged seq provably lies in the delta, so the strict path never
+    * fires in a correct run). */
   private def changeFeedEvents(spark: SparkSession, upstream: IceTable,
       vFrom: Long, vTo: Long, schemaId: Int,
       topOfDelta: Map[Int, Long], nLogPartitions: Int): DataFrame = {
@@ -262,8 +367,9 @@ object MirrorJob {
       when(col("change_type") === "insert", lit("i"))
         .when(col("change_type") === "update", lit("u"))
         .otherwise(lit("d")).as("op"),
-      coalesce(col("seq"), topOfDeltaCol(topOfDelta, nLogPartitions))
-        .as("seq"),
+      when(col("seq").isNull,
+        deleteSeqOrFail(topOfDelta, nLogPartitions))
+        .otherwise(col("seq")).as("seq"),
       col("repo"), col("path"),
       coalesce(payloadCol(schemaId, 3), lit("")).as("commit"),
       coalesce(payloadCol(schemaId, 4), lit("")).as("lang"),
@@ -272,9 +378,11 @@ object MirrorJob {
         .as("content"))
   }
 
-  /** Substitute seq for a MIRROR-ONLY-KEY delete in the full resync: the
-    * top of the key's partition's claim delta. When that partition's delta
-    * is EMPTY the resync FAILS LOUDLY instead of guessing: an empty delta
+  /** Substitute seq for a delete whose real seq is unrecoverable (a
+    * purged-in-window tombstone on the incremental/stream paths, a
+    * mirror-only key on the full resync): the top of the key's partition's
+    * claim delta. When that partition's delta is EMPTY the sync FAILS
+    * LOUDLY instead of guessing: an empty delta
     * means the mirror's committed offsets already cover the upstream's for
     * that partition, so any substitute either sits inside the mirror's
     * committed set (the fence drops it — the old Long.MinValue fallback

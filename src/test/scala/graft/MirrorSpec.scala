@@ -70,6 +70,71 @@ class MirrorSpec extends SparkSpec {
         .cast("int")).head().getInt(0) == p
     }.get
 
+  test("followStream: a Structured-Streaming follower applies feed " +
+      "batches incrementally, resumes from its checkpoint across " +
+      "restarts, and handles purged-in-window deletes") {
+    val catDir = tmpDir("mirs-cat")
+    val ckpt = tmpDir("mirs-ckpt")
+    val up = IceTable.create(tmpDir("mirs-up"), numBuckets = 2)
+    val mir = IceTable.create(tmpDir("mirs-m"), numBuckets = 2)
+    // origin-anchored claims so the later tombstone purge actually fires
+    apply(up, 0, -1, 3,
+      ev("i", 1, "r0", "a", "A1"),
+      ev("i", 2, "r0", "b", "B1"),
+      ev("i", 3, "r1", "c", "C1"))
+    apply(up, 1, 3, 5,
+      ev("u", 4, "r0", "a", "A2"),
+      ev("i", 5, "r2", "d", "D1"))
+    graft.table.GraftCatalog.create(catDir).register("commits", up.dir)
+    spark.conf.set("spark.sql.catalog.mirs", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.mirs.dir", catDir)
+    try {
+      def userView(t: IceTable) = t.read(spark).collect().toSet
+      def drain(opts: Map[String, String]): Unit = {
+        val q = MirrorJob.followStream(spark, "mirs.commits.changes", up,
+          mir, ckpt, nLogPartitions = N, options = opts)
+        q.awaitTermination()
+      }
+      // backlog drains under admission control (one version per batch);
+      // each batch is the normal claim-delta merge
+      drain(Map("maxVersionsPerTrigger" -> "1"))
+      assert(userView(mir) == userView(up))
+      assert(offsets(mir) == offsets(up))
+      assert(mir.currentManifest().get.epochId == up.currentVersion(),
+        "last data batch stamps the upstream version as the sync point")
+      // upstream moves while the follower is DOWN: a delete whose
+      // tombstone is then compaction-purged — the restart's single batch
+      // spans both commits, so the feed SYNTHESIZES the delete (NULL seq)
+      // and the merge substitutes the claim-delta top
+      apply(up, 2, 5, 6, ev("d", 6, "r0", "b", ""))
+      Compaction.compact(spark, up)
+      assert(up.currentManifest().get.purgedBelowSeq >= 6L,
+        "fixture must actually purge the tombstone")
+      drain(Map.empty)
+      assert(userView(mir) == userView(up),
+        "purged-in-window delete must land on the streaming mirror")
+      assert(offsets(mir) == offsets(up))
+      assert(mir.currentManifest().get.epochId == up.currentVersion())
+      // live follower: mid-stream upstream commits land incrementally
+      val q = MirrorJob.followStream(spark, "mirs.commits.changes", up,
+        mir, ckpt, nLogPartitions = N,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      try {
+        apply(up, 3, 6, 7, ev("u", 7, "r1", "c", "C2"))
+        q.processAllAvailable()
+        assert(userView(mir) == userView(up))
+        assert(offsets(mir) == offsets(up))
+        apply(up, 4, 7, 8, ev("i", 8, "r3", "e", "E1"))
+        q.processAllAvailable()
+        assert(userView(mir) == userView(up))
+        assert(mir.currentManifest().get.epochId == up.currentVersion())
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mirs")
+      spark.conf.unset("spark.sql.catalog.mirs.dir")
+    }
+  }
+
   test("bootstrap + incremental sync converge state, offsets, and sync " +
       "point; re-sync is a no-op") {
     val up = IceTable.create(tmpDir("mir1-up"), numBuckets = 4)
