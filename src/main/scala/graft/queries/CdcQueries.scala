@@ -308,6 +308,52 @@ object CdcQueries {
         .orderBy("repo", "path")
     }),
 
+    "c9_sql_write" -> ((s, d) => {
+      // SQL WRITE PATH (graft.table.SqlAppend via GraftSparkCatalog's
+      // SupportsWrite): replay the log's FIRST half through the engine,
+      // then land the SECOND half's per-key winners (upserts only) through
+      // `df.writeTo("catalog.table").append()` — the INSERT front door.
+      // The append is a normal engine epoch (dedup, LWW merge, counter
+      // reconciliation, reserved-namespace seq allocation + claims), so
+      // the final state must equal base-state-overridden-by-batch, which
+      // DuckDB re-derives independently.
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-engine-q-" +
+        s"${ProcessHandle.current().pid()}-" +
+        Integer.toHexString(d.hashCode) + "-sqlw"
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      registerCleanup(tmp)
+      val table = IceTable.create(s"$tmp/table", numBuckets = 16)
+      val log = deriveLog(s, d).as[ChangeEvent]
+      val bounds = log.agg(min($"seq"), max($"seq")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val mid = lo + (hi - lo + 1) / 2 - 1
+      val m1 = lo + (mid - lo + 1) / 2 - 1
+      val ranges = Seq((0L, lo - 1, m1), (1L, m1, mid))
+      ReplayJob.run(s, table,
+        id => { val (_, l, h) = ranges(id.toInt)
+          log.filter($"seq" > l && $"seq" <= h) },
+        ranges, nLogPartitions = 16)
+      // second-half winners as an INSERT batch (upserts only; contentSha
+      // NULL — the engine derives it)
+      val batch = log.filter($"seq" > mid && $"op" =!= "d")
+        .groupBy($"repo", $"path")
+        .agg(max_by(struct($"commit", $"lang", $"content"), $"seq").as("e"))
+        .select($"repo", $"path", $"e.commit".as("commit"),
+          $"e.lang".as("lang"), $"e.content".as("content"),
+          lit(null).cast("string").as("contentSha"))
+      val catDir = s"$tmp/cat"
+      GraftCatalog.create(catDir)
+        .register("commits", table.dir, defaultNumBuckets = 16)
+      s.conf.set("spark.sql.catalog.graftw", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graftw.dir", catDir)
+      batch.writeTo("graftw.commits").append()
+      table.read(s)
+        .select("repo", "path", "commit", "lang", "content", "contentSha")
+        .orderBy("repo", "path")
+    }),
+
     "c4_sessionize" -> ((s, d) => {
       // session = events of a user with <30min gaps (lag + running count)
       import org.apache.spark.sql.expressions.Window
@@ -399,6 +445,35 @@ object CdcQueries {
          WHERE NOT EXISTS (SELECT 1 FROM f
                            WHERE b.lastSeq > f.lo AND b.lastSeq <= f.hi)
          ORDER BY repo, path""",
+
+    // final state = LWW fold of the first half, overridden by the second
+    // half's per-key upsert winners (the SQL-inserted batch always wins:
+    // its engine-allocated seqs live in the reserved upper namespace)
+    "c9_sql_write" ->
+      s"""WITH log AS ($deriveSql),
+         bounds AS (SELECT min(seq) AS lo, max(seq) AS hi FROM log),
+         k AS (SELECT lo + (hi - lo + 1) // 2 - 1 AS mid FROM bounds),
+         base AS (
+           SELECT repo, path, "commit", lang, content FROM (
+             SELECT l.*, row_number() OVER (PARTITION BY repo, path
+               ORDER BY seq DESC) AS rn
+             FROM log l, k WHERE l.seq <= k.mid) t
+           WHERE rn = 1 AND op <> 'd'),
+         batch AS (
+           SELECT repo, path, "commit", lang, content FROM (
+             SELECT l.*, row_number() OVER (PARTITION BY repo, path
+               ORDER BY seq DESC) AS rn
+             FROM log l, k WHERE l.seq > k.mid AND l.op <> 'd') t
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM batch
+           UNION ALL
+           SELECT b.* FROM base b
+           WHERE NOT EXISTS (SELECT 1 FROM batch x
+                             WHERE x.repo = b.repo AND x.path = b.path))
+         SELECT repo, path, "commit", lang, content,
+                sha256(content) AS contentSha
+         FROM merged ORDER BY repo, path""",
 
     "c4_sessionize" ->
       """WITH g AS (

@@ -105,7 +105,7 @@ final class GraftSparkCatalog extends TableCatalog {
     feedFor(ident).getOrElse {
       val t = iceFor(ident)
       new GraftSqlTable(s"$catalogName.${ident.name()}", t,
-        t.currentManifest())
+        t.currentManifest(), writable = true)
     }
 
   /** `VERSION AS OF <v>` — snapshot isolation falls out of manifest
@@ -153,9 +153,19 @@ final class GraftSparkCatalog extends TableCatalog {
 /** A loaded snapshot as a DSv2 table: USER schema (physical columns
   * hidden), BATCH_READ, tombstones filtered in the partition readers. The
   * manifest is resolved ONCE at load — the table is an immutable snapshot
-  * view regardless of concurrent commits. */
+  * view regardless of concurrent commits.
+  *
+  * `writable = true` (only the PLAIN load — never a time-travel snapshot)
+  * additionally exposes the SQL write path: `INSERT INTO` /
+  * `df.writeTo(...).append()` route through the engine's epoch machinery
+  * (see [[SqlAppend]] — allocation, constraints, and the append contract
+  * live there). The write always applies against the table's CURRENT
+  * state at execution time, not this loaded snapshot (the commit CAS is
+  * the arbiter), matching SQL expectations. */
 private[table] final class GraftSqlTable(tableName: String, t: IceTable,
-    m: Option[EpochManifest]) extends Table with SupportsRead {
+    m: Option[EpochManifest], writable: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private val schemaId =
     m.map(_.schemaId).getOrElse(SchemaRegistry.baseSchemaId)
@@ -165,7 +175,37 @@ private[table] final class GraftSqlTable(tableName: String, t: IceTable,
   override def name(): String = tableName
   override def schema(): StructType = userSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (!writable)
+      throw new UnsupportedOperationException(
+        s"$tableName is a read-only snapshot view (time travel / feed); " +
+          "INSERT goes to the plain table identifier")
+    val nLogOpt = Option(info.options.get("nlogpartitions")).map(_.toInt)
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "INSERT OVERWRITE is not supported: graft tables are " +
+                    "append-only through SQL (truncation is an engine/" +
+                    "maintenance decision)")
+                SqlAppend.append(data.sparkSession, t, data, nLogOpt)
+              }
+            }
+        }
+    }
+  }
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns

@@ -139,6 +139,105 @@ class CatalogSqlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO routes through the engine: upsert semantics, derived " +
+      "contentSha, reserved-namespace claims; constraint violations and " +
+      "OVERWRITE reject; writeTo().append() works") {
+    val catDir = tmpDir("gcatsqlw")
+    val t = IceTable.create(tmpDir("gcattabw"), numBuckets = 4)
+    apply(t, 0, 0, 2,
+      ev("i", 1, "r0", "a", "A1"),
+      ev("i", 2, "r0", "b", "B1"))
+    GraftCatalog.create(catDir).register("commits", t.dir)
+    withCatalog("gcatw", catDir) {
+      val v0 = t.currentVersion()
+      // upsert an existing key + insert a new one; contentSha is derived,
+      // the supplied NULL is ignored
+      spark.sql("INSERT INTO gcatw.commits VALUES " +
+        "('r0','a','h','scala','A2',NULL), ('r2','c','h','scala','C1',NULL)")
+      assert(t.currentVersion() == v0 + 1, "one engine epoch per statement")
+      val got = spark.sql(
+        "SELECT path, content, contentSha FROM gcatw.commits")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2))).toSet
+      def sha(s: String): String = java.security.MessageDigest
+        .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(got == Set(("a", "A2", sha("A2")), ("b", "B1", sha("B1")),
+        ("c", "C1", sha("C1"))), s"got $got")
+      // claims landed in the reserved upper namespace on every partition;
+      // completeness/purge horizons untouched
+      val ivs = MergeEngine.committedIntervals(t.currentManifest())
+      assert(ivs.keySet == Set(0, 1))
+      ivs.values.foreach { iv =>
+        assert(iv.exists { case (lo, hi) =>
+          lo == graft.table.SqlAppend.SeqNamespaceBase && hi == lo + 2 },
+          s"expected the (2^62, 2^62+2] claim, got $iv")
+      }
+      // statement idempotence: same INSERT again → higher seqs, same state
+      spark.sql("INSERT INTO gcatw.commits VALUES " +
+        "('r0','a','h','scala','A2',NULL), ('r2','c','h','scala','C1',NULL)")
+      assert(spark.sql("SELECT path, content, contentSha FROM gcatw.commits")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2))).toSet == got, "re-running an INSERT converges")
+      // SQL rows supersede log ingest for their keys (documented LWW rule)
+      apply(t, 1, 2, 3, ev("u", 3, "r0", "a", "A3"))
+      assert(spark.sql(
+        "SELECT content FROM gcatw.commits WHERE path='a'")
+        .head().getString(0) == "A2",
+        "a log event below the SQL seq namespace loses LWW")
+      // constraint violations reject the STATEMENT, nothing commits
+      val vBefore = t.currentVersion()
+      val e1 = intercept[Exception] {
+        spark.sql("INSERT INTO gcatw.commits VALUES " +
+          "('r9','x','h','scala',NULL,NULL)") // null content
+      }
+      assert(e1.getMessage.contains("INSERT rejected"), e1.getMessage)
+      assert(t.currentVersion() == vBefore, "rejected INSERT commits nothing")
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE gcatw.commits VALUES " +
+          "('r9','x','h','scala','X',NULL)")
+      }
+      assert(t.currentVersion() == vBefore)
+      // the DataFrameWriterV2 spelling
+      Seq(("r3", "d", "h", "scala", "D1", null: String))
+        .toDF("repo", "path", "commit", "lang", "content", "contentSha")
+        .writeTo("gcatw.commits").append()
+      assert(spark.sql("SELECT content FROM gcatw.commits WHERE path='d'")
+        .head().getString(0) == "D1")
+    }
+  }
+
+  test("concurrent INSERTs race through the commit CAS: the loser " +
+      "re-allocates above the winner's claims and both statements land") {
+    val catDir = tmpDir("gcatsqlr")
+    val t = IceTable.create(tmpDir("gcattabr"), numBuckets = 4)
+    apply(t, 0, 0, 1, ev("i", 1, "r0", "a", "A1"))
+    GraftCatalog.create(catDir).register("commits", t.dir)
+    withCatalog("gcatr", catDir) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (0 until 2).map { i =>
+        Future {
+          spark.sql(s"INSERT INTO gcatr.commits VALUES " +
+            s"('rc$i','p$i','h','scala','C$i',NULL)")
+        }
+      }
+      fs.foreach(Await.result(_, 120.seconds))
+      val got = spark.sql("SELECT path, content FROM gcatr.commits")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("a", "A1"), ("p0", "C0"), ("p1", "C1")),
+        s"both racing INSERTs must land: $got")
+      // allocations stacked: two disjoint unit blocks above 2^62
+      val base = graft.table.SqlAppend.SeqNamespaceBase
+      val ivs = MergeEngine.committedIntervals(t.currentManifest())
+      ivs.values.foreach { iv =>
+        assert(iv.exists { case (lo, hi) => lo == base && hi == base + 2 },
+          s"racing claims must stack contiguously above 2^62: $iv")
+      }
+    }
+  }
+
   test("snapshot isolation: a table loaded by SQL is pinned to the " +
       "manifest at load; a concurrent commit does not tear the query") {
     val catDir = tmpDir("gcatsql4")
