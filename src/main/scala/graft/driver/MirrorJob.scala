@@ -103,6 +103,7 @@ object MirrorJob {
 
     val mParent = mirror.currentManifest()
     val mirIv = MergeEngine.committedIntervals(mParent)
+    requireNoRegression(upstream, upIv, mirIv)
 
     // align the mirror's schema to the upstream's target-version schema
     // BEFORE merging (stepwise: the registry history is linear, and
@@ -255,6 +256,7 @@ object MirrorJob {
       val upIv = MergeEngine.committedIntervals(Some(up2))
       val mParent = mirror.currentManifest()
       val mirIv = MergeEngine.committedIntervals(mParent)
+      requireNoRegression(upstream, upIv, mirIv)
 
       // mirror schema tracks the upstream's at vTo (metadata-only steps)
       val mSchema = mParent.map(_.schemaId)
@@ -328,6 +330,29 @@ object MirrorJob {
       }
     }
     outs.toSeq
+  }
+
+  /** HARD-ROLLBACK GUARD: a mirror's committed offsets must be a subset of
+    * the upstream's (the mirror only ever claims upstream deltas). If the
+    * upstream's offsets have regressed BELOW the mirror's — the signature
+    * of [[IceTable.rollbackTo]] — no mechanical sync can converge: every
+    * re-emitted row loses the fence/LWW against the mirror's newer state,
+    * and a "successful" sync would silently stamp a diverged replica.
+    * Fail loudly instead; a rolled-back upstream needs its replicas
+    * REBUILT (or should have used Revert.revertTo, which mirrors follow
+    * normally). */
+  private def requireNoRegression(upstream: IceTable,
+      upIv: Map[Int, Seq[(Long, Long)]],
+      mirIv: Map[Int, Seq[(Long, Long)]]): Unit = {
+    val regressed = mirIv.collect { case (p, ivs)
+      if Intervals.subtract(ivs, upIv.getOrElse(p, Nil)).nonEmpty => p }
+    if (regressed.nonEmpty)
+      throw new IllegalStateException(
+        s"upstream ${upstream.dir} committed offsets regressed below the " +
+          s"mirror's on partitions ${regressed.toSeq.sorted.mkString(",")} " +
+          "(hard snapshot rollback?): a mirror cannot be mechanically " +
+          "rolled back — rebuild the replica, or roll the upstream " +
+          "forward with Revert.revertTo (CDC-consistent)")
   }
 
   private def normalized(m: Map[Int, Seq[(Long, Long)]])

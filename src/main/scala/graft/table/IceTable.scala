@@ -547,8 +547,14 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
   def changesBetween(spark: SparkSession, fromVersion: Long,
                      toVersion: Long,
                      bucketAligned: Boolean = true): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    // DIRECTIONAL, not ordered: the diff is between two manifests, so a
+    // BACKWARD pair (fromVersion > toVersion) is legal and yields exactly
+    // the COMPENSATING changes that transform the newer state into the
+    // older one — the building block of Revert.revertTo (CDC-consistent
+    // rollback). Forward reads remain the normal CDC feed.
+    require(fromVersion >= 0 && toVersion >= 0,
+      s"changesBetween: versions must be committed snapshots " +
+        s"($fromVersion, $toVersion)")
     val mNew = readManifest(toVersion)
     val target = mNew.schemaId
     val nonKey = SchemaRegistry.schemaFor(target).columns.map(_.name)
@@ -621,7 +627,25 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
                       // published its segments but has not CAS'd its
                       // snapshot yet (segments publish BEFORE the snapshot
                       // rename by design)
-                      orphanSegGraceMillis: Long = 3600000L): (Int, Int) = {
+                      orphanSegGraceMillis: Long = 3600000L,
+                      // ORPHAN DATA-FILE SWEEP: data files referenced by NO
+                      // listed snapshot — published by an epoch that lost
+                      // the CAS non-rebasably or crashed pre-commit — are
+                      // invisible to every reader (correct) but reclaim
+                      // nothing by themselves; at 100× with commit races
+                      // that is slow unbounded growth. The sweep lists the
+                      // data layout (O(files) metadata — a maintenance op,
+                      // not a hot path), subtracts every listed snapshot's
+                      // resolved file list, applies the same mtime grace
+                      // window as the fseg sweep (epochs publish files
+                      // BEFORE the commit CAS by design — a slow in-flight
+                      // commit's files must survive), re-lists snapshot
+                      // versions immediately before deleting (a commit
+                      // landing mid-sweep is excluded), and also clears
+                      // staging leftovers older than the grace. Swept
+                      // files count into the second return component.
+                      sweepOrphanData: Boolean = true,
+                      orphanDataGraceMillis: Long = -1L): (Int, Int) = {
     require(keepLast >= 1)
     val f = fs
     if (!f.exists(metaDir)) return (0, 0)
@@ -678,8 +702,10 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
           val target = System.currentTimeMillis() - 2 * orphanSegGraceMillis
           try f.setTimes(probe, target, -1L)
           catch { case _: Exception => () }
+          // tolerance floor: a tiny/zero grace (specs) must not fail a
+          // store whose setTimes works but rounds to whole seconds
           math.abs(f.getFileStatus(probe).getModificationTime - target) <
-            orphanSegGraceMillis / 2
+            math.max(60000L, orphanSegGraceMillis / 2)
         } catch { case _: Exception => false }
         finally { try f.delete(probe, false) catch { case _: Exception => () } }
       }
@@ -724,7 +750,59 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
       }
       }
     }
-    if (expired.isEmpty) return (0, 0)
+    // ---- orphan DATA-FILE sweep (see the parameter doc above) ----------
+    val dataGrace =
+      if (orphanDataGraceMillis >= 0) orphanDataGraceMillis
+      else orphanSegGraceMillis
+    val sweptData: Int = if (!sweepOrphanData) 0 else {
+      // referenced = every file of every version listed in THIS pass
+      // (retained AND expired — expired jsons are still on disk here, so
+      // their files are not orphans; the normal retention path below
+      // removes them in the right order). Tolerant resolution: a
+      // segment-less legacy corpse contributes nothing. Paths are
+      // QUALIFIED before comparison: manifests record publish-time
+      // (possibly scheme-less) paths while listStatus returns fully
+      // qualified ones — a raw string compare would see every committed
+      // file as an orphan.
+      def qual(p: String): String = f.makeQualified(new HPath(p)).toString
+      val referenced: Set[String] = versions.flatMap { v =>
+        try resolveFiles(headers(v)).files.map(e => qual(e.path))
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }.toSet
+      val nowD = System.currentTimeMillis()
+      val candidates: Seq[HPath] =
+        if (!f.exists(dataDir)) Nil
+        else f.listStatus(dataDir).iterator
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .flatMap(d => f.listStatus(d.getPath).iterator)
+          .filter(s => s.isFile &&
+            !referenced.contains(qual(s.getPath.toString)) &&
+            nowD - s.getModificationTime >= dataGrace)
+          .map(_.getPath).toSeq
+      val swept =
+        if (candidates.isEmpty) 0
+        else {
+          // final re-list: a commit that CAS'd after the header pass may
+          // reference files we are about to delete (a rebase reuses the
+          // epoch's already-published files) — exclude them
+          val known = versions.toSet
+          val lateRefs: Set[String] = listVersions().filterNot(known)
+            .flatMap { v =>
+              try resolveFiles(readManifestHeader(v)).files
+                .map(e => qual(e.path))
+              catch { case _: java.io.FileNotFoundException => Nil }
+            }.toSet
+          candidates.filterNot(p => lateRefs.contains(qual(p.toString)))
+            .count(p => f.delete(p, false))
+        }
+      // staging leftovers (crashed mid-write epochs) age out the same way
+      if (f.exists(stagingDir))
+        f.listStatus(stagingDir).iterator
+          .filter(s => nowD - s.getModificationTime >= dataGrace)
+          .foreach(s => f.delete(s.getPath, true))
+      swept
+    }
+    if (expired.isEmpty) return (0, sweptData)
     // resolve file lists: STRICT for retained versions (a retained snapshot
     // with missing segments is real corruption), TOLERANT for expired ones
     // (a pre-r5 crash between segment delete and json delete left snapshots
@@ -755,9 +833,9 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     graft.metrics.Metrics.emit("graft.maintenance", "SnapshotsExpired", Map(
       "table" -> dir,
       "expiredManifests" -> expired.size.toString,
-      "deletedFiles" -> removable.size.toString,
+      "deletedFiles" -> (removable.size + sweptData).toString,
       "retainedVersions" -> retained.size.toString))
-    (expired.size, removable.size)
+    (expired.size, removable.size + sweptData)
   }
 
   def readFiles(spark: SparkSession, files: Seq[DataFileEntry],
@@ -955,6 +1033,51 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
       version = parent.version + 1,
       schemaId = toSchemaId,
       parentVersion = parent.version))
+  }
+
+  /** Snapshot ROLLBACK (ops): re-point the table at retained version `v`'s
+    * state under a FRESH version — a metadata-only commit copying v's
+    * files, schema, offsets, completeness watermark, and bucket layout
+    * (Iceberg's rollback-to-snapshot shape: O(metadata), no data IO; v's
+    * files are guaranteed on disk because retention never deletes files a
+    * retained snapshot references). Readers see v's state immediately;
+    * time travel to the in-between versions still works until they expire.
+    *
+    * HARD rollback is NOT CDC-consistent — committed offsets REGRESS, so:
+    *  - change-feed consumers whose start version predates the rollback
+    *    cannot interpret the window (rows mostly fenced, vanished keys
+    *    never emit deletes): restart feed consumers from scratch;
+    *  - a MIRROR cannot be mechanically rolled back (every re-emitted row
+    *    loses the fence/LWW against the mirror's newer state) — MirrorJob
+    *    detects the offset regression and FAILS LOUDLY; rebuild replicas.
+    * For a rollback downstream consumers can follow, use
+    * [[graft.maintenance.Revert.revertTo]]: a COMPENSATING EPOCH (normal
+    * commit, fresh seqs) that restores v's user-visible state while
+    * offsets keep advancing.
+    *
+    * The purge mark is kept at the max of both manifests (monotone), and
+    * the rollback commit's epochId tags the operation so operators can see
+    * it in history(). */
+  def rollbackTo(v: Long): EpochManifest = {
+    val cur = currentManifest().getOrElse(
+      throw new IllegalStateException("rollbackTo on an empty table"))
+    require(v >= 0 && v <= cur.version,
+      s"rollbackTo($v): no such version (current ${cur.version})")
+    if (v == cur.version) return cur
+    val target =
+      try readManifest(v)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"rollbackTo($v): version expired by retention; " +
+              s"earliest retained: ${history().headOption.map(_.version)}")
+      }
+    commit(target.copy(
+      version = cur.version + 1,
+      parentVersion = cur.version,
+      epochId = 1300000000L + v, // ops tag: visible in history()
+      purgedBelowSeq =
+        math.max(cur.purgedBelowSeq, target.purgedBelowSeq)))
   }
 
   /** Register the CURRENT snapshot's user view under a SQL-queryable name

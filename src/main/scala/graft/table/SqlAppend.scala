@@ -73,6 +73,23 @@ object SqlAppend {
   /** epochId tag range for SQL appends (compaction uses 1e9 + version) */
   private val EpochIdBase = 1200000000L
 
+  /** Dense gap-free seqs `(base, base+n]` zipped onto a PERSISTED
+    * DataFrame (deterministic: the persist pins the partition layout).
+    * Shared by the SQL append and the compensating-revert epoch — the two
+    * engine-allocated-seq writers. */
+  private[graft] def withDenseSeqs(spark: SparkSession, persisted: DataFrame,
+                                   base: Long): DataFrame =
+    spark.createDataFrame(
+      persisted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (base + 1L + i))
+      }, persisted.schema.add("seq", LongType, nullable = false))
+
+  /** floor for a fresh engine allocation: above the namespace base and
+    * every committed high of `m` */
+  private[graft] def allocBase(
+      committed: Map[Int, Seq[(Long, Long)]]): Long =
+    committed.values.flatten.map(_._2).foldLeft(SeqNamespaceBase)(math.max)
+
   def append(spark: SparkSession, ice: IceTable, input: DataFrame,
              nLogPartitionsOpt: Option[Int], maxRetries: Int = 3): Unit = {
     import spark.implicits._
@@ -123,16 +140,8 @@ object SqlAppend {
           val committed = MergeEngine.committedIntervals(parent)
           val nLog = nLogPartitionsOpt.getOrElse(
             if (committed.nonEmpty) committed.keys.max + 1 else 32)
-          val base = committed.values.flatten.map(_._2)
-            .foldLeft(SeqNamespaceBase)(math.max)
-          // gap-free dense ids over the persisted payload (deterministic:
-          // the partition layout is pinned by the persist)
-          val schemaWithSeq = payload.schema.add("seq", LongType,
-            nullable = false)
-          val withSeq = spark.createDataFrame(
-            payload.rdd.zipWithIndex().map { case (r, i) =>
-              Row.fromSeq(r.toSeq :+ (base + 1L + i))
-            }, schemaWithSeq)
+          val base = allocBase(committed)
+          val withSeq = withDenseSeqs(spark, payload, base)
           val events = withSeq.select(
             lit("i").as("op"), col("seq"), col("repo"), col("path"),
             col("commit"), col("lang"), col("content")).as[ChangeEvent]

@@ -302,6 +302,78 @@ class RecoveryAndOpsSpec extends SparkSpec {
       s"bi-level packing should keep topics on few slots: $topicSpread")
   }
 
+  test("rollbackTo re-points at an old snapshot byte-for-byte under a " +
+      "fresh version; mirrors of a rolled-back upstream fail loudly") {
+    val t = IceTable.create(tmpDir("rollb"), numBuckets = 2)
+    MergeEngine.applyEpoch(spark, t, slice(-1, 499), 0, nLogPartitions = 2,
+      claimedRange = Some((-1L, 499L)))
+    val vTarget = t.currentVersion()
+    val rawAtTarget = t.readRaw(spark).collect().map(_.toString).sorted.toSeq
+    val offAtTarget = MergeEngine.committedIntervals(t.currentManifest())
+    // a mirror synced to the PRE-rollback state
+    val mir = IceTable.create(tmpDir("rollb-m"), numBuckets = 2)
+    graft.driver.MirrorJob.sync(spark, t, mir, nLogPartitions = 2)
+    MergeEngine.applyEpoch(spark, t, slice(499, 999), 1, nLogPartitions = 2,
+      claimedRange = Some((499L, 999L)))
+    graft.driver.MirrorJob.sync(spark, t, mir, nLogPartitions = 2)
+    val vCur = t.currentVersion()
+    assert(vCur > vTarget)
+    // hard rollback: state equals the target snapshot BYTE-FOR-BYTE (raw
+    // view: same rows, same lastSeqs, same tombstones), fresh version
+    val rolled = t.rollbackTo(vTarget)
+    assert(rolled.version == vCur + 1)
+    assert(t.readRaw(spark).collect().map(_.toString).sorted.toSeq ==
+      rawAtTarget, "rolled-back state must equal the target snapshot")
+    assert(MergeEngine.committedIntervals(t.currentManifest()) ==
+      offAtTarget, "offsets revert with the state")
+    assert(t.history().last.epochId == 1300000000L + vTarget,
+      "the rollback commit is tagged in history")
+    // idempotent shortcut + bad targets
+    assert(t.rollbackTo(t.currentVersion()).version == t.currentVersion())
+    intercept[IllegalArgumentException] { t.rollbackTo(9999L) }
+    // the mirror saw offsets REGRESS — mechanical sync must fail loudly,
+    // never silently stamp a diverged replica
+    val e = intercept[IllegalStateException] {
+      graft.driver.MirrorJob.sync(spark, t, mir, nLogPartitions = 2)
+    }
+    assert(e.getMessage.contains("regressed"), e.getMessage)
+  }
+
+  test("revertTo restores an old snapshot's USER state as a compensating " +
+      "epoch: offsets keep advancing and mirrors follow normally") {
+    val t = IceTable.create(tmpDir("revt"), numBuckets = 2)
+    MergeEngine.applyEpoch(spark, t, slice(-1, 499), 0, nLogPartitions = 2,
+      claimedRange = Some((-1L, 499L)))
+    val vTarget = t.currentVersion()
+    val userAtTarget = t.read(spark).collect().map(_.toString).sorted.toSeq
+    val mir = IceTable.create(tmpDir("revt-m"), numBuckets = 2)
+    graft.driver.MirrorJob.sync(spark, t, mir, nLogPartitions = 2)
+    MergeEngine.applyEpoch(spark, t, slice(499, 999), 1, nLogPartitions = 2,
+      claimedRange = Some((499L, 999L)))
+    graft.driver.MirrorJob.sync(spark, t, mir, nLogPartitions = 2)
+    val offBefore = MergeEngine.committedIntervals(t.currentManifest())
+    val out = graft.maintenance.Revert.revertTo(spark, t, vTarget,
+      nLogPartitions = 2)
+    assert(!out.skipped && out.stats.rowsApplied + out.stats.deletesApplied > 0)
+    // user-visible state equals the target; committed offsets only GREW
+    // (the compensating block claims in the reserved namespace)
+    assert(t.read(spark).collect().map(_.toString).sorted.toSeq ==
+      userAtTarget, "reverted user state must equal the target snapshot")
+    val offAfter = MergeEngine.committedIntervals(t.currentManifest())
+    offBefore.foreach { case (p, ivs) =>
+      assert(graft.merge.Intervals.subtract(ivs,
+        offAfter.getOrElse(p, Nil)).isEmpty,
+        "revert must never regress committed offsets")
+    }
+    // a mirror follows the revert through its NORMAL incremental sync
+    graft.driver.MirrorJob.sync(spark, t, mir, nLogPartitions = 2)
+    assert(mir.read(spark).collect().map(_.toString).sorted.toSeq ==
+      userAtTarget, "mirrors converge across a revert")
+    // reverting to the current version is a no-op
+    assert(graft.maintenance.Revert.revertTo(spark, t,
+      t.currentVersion(), nLogPartitions = 2).skipped)
+  }
+
   test("view registration: SQL name tracks the latest snapshot per commit") {
     val t = IceTable.create(tmpDir("vtab"), numBuckets = 2)
     val ranges = Seq((0L, -1L, 499L), (1L, 499L, 999L))

@@ -278,6 +278,41 @@ class TableInvariantsSpec extends SparkSpec {
     assert(t.expireSnapshots(keepLast = 2) == ((0, 0)))
   }
 
+  test("orphan data-file sweep: files published by a crashed / CAS-losing " +
+      "epoch are reclaimed past the grace window; in-flight files survive") {
+    val t = IceTable.create(tmpDir("orphd"), numBuckets = 2)
+    ReplayJob.replayGenerated(spark, t,
+      LogSpec(nEvents = 1000, nRepos = 4, nPathsPerRepo = 8), nEpochs = 2,
+      nLogPartitions = 2)
+    val before = t.read(spark).collect().map(_.toString).sorted.toSeq
+    // an epoch that PUBLISHED its files but never committed — the stranding
+    // shape shared by a pre-commit crash and a non-rebasable CAS loss
+    // (publish happens before the snapshot CAS by design)
+    val stranded = t.writeEpochFiles(t.readRaw(spark), epochId = 999L)
+    assert(stranded.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    // within the grace window the strands are indistinguishable from a
+    // slow in-flight commit's files — they must survive
+    t.expireSnapshots(keepLast = 100, orphanDataGraceMillis = 3600000L)
+    assert(stranded.forall(e => exists(e.path)),
+      "grace window must protect possibly-in-flight files")
+    // past the grace window they are provably orphans — reclaimed
+    val (_, swept) = t.expireSnapshots(keepLast = 100,
+      orphanDataGraceMillis = 0L)
+    assert(swept >= stranded.size, s"swept $swept < ${stranded.size}")
+    assert(stranded.forall(e => !exists(e.path)), "orphans must be gone")
+    // committed state and every referenced file untouched
+    assert(t.read(spark).collect().map(_.toString).sorted.toSeq == before)
+    assert(t.currentManifest().get.files.forall(e => exists(e.path)))
+    // idempotent: nothing left to sweep
+    assert(t.expireSnapshots(keepLast = 100,
+      orphanDataGraceMillis = 0L) == ((0, 0)))
+  }
+
   test("salted write splits a hot bucket across multiple files, data intact") {
     import spark.implicits._
     val t = IceTable.create(tmpDir("salt"), numBuckets = 2)
