@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
  * Usage:
  *   IngestMain replay <tableDir> <nEvents> <nEpochs> [master]
  *   IngestMain stream <tableDir> <logDir> <nEvents> [master]
+ *   IngestMain job <specJson>          (declarative .pull-file analog)
  *   IngestMain changes <tableDir> <fromVersion> <toVersion|current> [outDir]
  *   IngestMain mirror <upstreamDir> <mirrorDir> [toVersion|current] [nLogParts]
  *   IngestMain mirror-follow <upstreamDir> <mirrorDir> [pollMs] [maxIdlePolls] [nLogParts]
@@ -175,6 +176,16 @@ object IngestMain {
         println(s"mode=mirror-follow syncs=${outs.size} " +
           s"to=${outs.lastOption.map(_.toVersion).getOrElse(-1L)} " +
           s"rows=${mir.read(spark).count()}")
+      case "job" =>
+        // config-driven job assembly (.pull-file analog): a JSON spec
+        // wiring source → converters → policies → table → catalog,
+        // executed through the same engine calls code would make
+        // (JobSpecRunner scaladoc documents the spec shape).
+        val rep = JobSpecRunner.runFile(spark, args(1))
+        rep.epochs.foreach(r => println(
+          s"epoch=${r.epochId} skipped=${r.skipped} stats=${r.stats}"))
+        println(s"mode=job name=${rep.name} epochs=${rep.epochs.size} " +
+          s"final_rows=${rep.finalRows} version=${rep.version}")
       case "history" =>
         // snapshot history (time-travel / retention planning surface)
         val t = IceTable.create(args(1))
@@ -248,8 +259,8 @@ object IngestMain {
           f"final_rows=${t.read(spark).count()}%d version=${t.currentVersion()}%d")
       case other =>
         System.err.println(s"unknown mode '$other'; use " +
-          "replay|stream|replay-budgeted|maintain|reprocess|rebucket|" +
-          "history|changes")
+          "replay|stream|replay-budgeted|job|maintain|reprocess|rebucket|" +
+          "history|changes|mirror|mirror-follow")
         sys.exit(2)
     } finally {
       graft.metrics.Metrics.clearReporters() // flush/close event files

@@ -72,4 +72,81 @@ class FullLifecycleSpec extends SparkSpec {
     assert(cols.contains("language") && cols.contains("sizeBytes"))
     assert(t.read(spark).filter(col("language").isNull).count() == 0)
   }
+
+  test("config-driven job spec (.pull analog) runs end-to-end: " +
+      "source → transforms → policies → table → catalog discovery; " +
+      "re-running the spec is a fenced no-op") {
+    val spec = LogSpec(seed = 7L, nEvents = 2000, nRepos = 4,
+      nPathsPerRepo = 8, pDelete = 0.1)
+    val oracle = graft.log.OracleFold
+      .fold(ChangeLogGen.generateLocal(spec))
+      .map { case (k, v) => k -> v.contentSha }
+    val tdir = tmpDir("jobtab")
+    val cdir = tmpDir("jobcat")
+    def specJson(tableDir: String, src: String): String =
+      s"""{
+         |  "name": "demo-ingest",
+         |  "source": $src,
+         |  "epochs": 2,
+         |  "policies": {"defaults": true},
+         |  "quarantine": true,
+         |  "table": {"dir": "$tableDir", "numBuckets": 8},
+         |  "nLogPartitions": 4,
+         |  "catalog": {"dir": "$cdir", "name": "commits"}
+         |}""".stripMargin
+    val gen = """{"kind": "generator", "nEvents": 2000, "seed": 7,
+                 |"nRepos": 4, "nPathsPerRepo": 8,
+                 |"pDelete": 0.1}""".stripMargin
+    val specPath = s"${tmpDir("jobspec")}/job.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(specPath),
+      specJson(tdir, gen).getBytes("UTF-8"))
+
+    val rep = graft.driver.JobSpecRunner.runFile(spark, specPath)
+    assert(rep.name == "demo-ingest" && rep.epochs.size == 2)
+    assert(rep.epochs.forall(r => !r.skipped))
+    val t = IceTable.create(tdir, 8)
+    def state(tt: IceTable) =
+      tt.read(spark).select("repo", "path", "contentSha").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(state(t) == oracle, "spec-run job must match the fold oracle")
+    // publish-time catalog registration: discoverable BY NAME
+    val byName = graft.table.GraftCatalog.create(cdir).load("commits")
+    assert(byName.read(spark).count() == rep.finalRows)
+    // a spec is an idempotent description: re-running it is fully fenced
+    val rep2 = graft.driver.JobSpecRunner.runFile(spark, specPath)
+    assert(rep2.epochs.forall(_.skipped) && rep2.version == rep.version)
+
+    // parquet source variant (segment claims): same log via files →
+    // identical final state
+    val logDir = tmpDir("joblog")
+    ChangeLogGen.writeLog(spark, spec, logDir)
+    val t2dir = tmpDir("jobtab2")
+    val specPath2 = s"${tmpDir("jobspec2")}/job.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(specPath2),
+      specJson(t2dir, s"""{"kind": "parquet", "dir": "$logDir"}""")
+        .getBytes("UTF-8"))
+    graft.driver.JobSpecRunner.run(spark,
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(specPath2)), "UTF-8"))
+    assert(state(IceTable.create(t2dir, 8)) == oracle,
+      "parquet-source spec must converge to the same state")
+
+    // converter-chain stage: a deterministic sample keeps a strict,
+    // REPEATABLE subset (same spec ⇒ same rows on every run)
+    val t3dir = tmpDir("jobtab3")
+    val spec3 = specJson(t3dir, gen).replace(
+      "\"epochs\": 2",
+      """"epochs": 2,
+        |"transforms": [{"name": "sample", "keyField": "path",
+        |                "fraction": 0.5}]""".stripMargin)
+    graft.driver.JobSpecRunner.run(spark, spec3)
+    val n3 = IceTable.create(t3dir, 8).read(spark).count()
+    assert(n3 > 0 && n3 < rep.finalRows,
+      s"sampled job must land a strict subset ($n3 of ${rep.finalRows})")
+    val t4dir = tmpDir("jobtab4")
+    graft.driver.JobSpecRunner.run(spark,
+      spec3.replace(t3dir, t4dir))
+    assert(IceTable.create(t4dir, 8).read(spark).count() == n3,
+      "deterministic sampling: identical spec ⇒ identical subset")
+  }
 }
