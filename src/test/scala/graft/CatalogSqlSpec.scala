@@ -207,6 +207,35 @@ class CatalogSqlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT on an evolved table: non-null values in post-base columns " +
+      "reject the statement (payload cannot carry them); NULLs land with " +
+      "the engine null-filling") {
+    val catDir = tmpDir("gcatsqle")
+    val t = IceTable.create(tmpDir("gcattabe"), numBuckets = 2)
+    apply(t, 0, 0, 1, ev("i", 1, "r0", "a", "A1"))
+    t.evolveSchema(2) // + sizeBytes (colId 7)
+    GraftCatalog.create(catDir).register("commits", t.dir)
+    withCatalog("gcate", catDir) {
+      val vBefore = t.currentVersion()
+      // a non-null evolved value would be silently dropped by the
+      // change-event payload — the statement must fail instead
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO gcate.commits VALUES " +
+          "('r1','b','h','scala','B1',NULL,123)")
+      }
+      assert(e.getMessage.contains("sizeBytes"), e.getMessage)
+      assert(t.currentVersion() == vBefore, "rejected INSERT commits nothing")
+      // NULL in the evolved column is the documented spelling — lands
+      spark.sql("INSERT INTO gcate.commits VALUES " +
+        "('r1','b','h','scala','B1',NULL,NULL)")
+      val got = spark.sql(
+        "SELECT path, content, sizeBytes FROM gcate.commits ORDER BY path")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+      assert(got == Seq(("a", "A1", -1), ("b", "B1", -1)), s"got $got")
+    }
+  }
+
   test("concurrent INSERTs race through the commit CAS: the loser " +
       "re-allocates above the winner's claims and both statements land") {
     val catDir = tmpDir("gcatsqlr")
