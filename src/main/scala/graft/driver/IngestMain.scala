@@ -22,6 +22,9 @@ import org.apache.spark.sql.SparkSession
  *   IngestMain changes <tableDir> <fromVersion> <toVersion|current> [outDir]
  *   IngestMain mirror <upstreamDir> <mirrorDir> [toVersion|current] [nLogParts]
  *   IngestMain mirror-follow <upstreamDir> <mirrorDir> [pollMs] [maxIdlePolls] [nLogParts]
+ *   IngestMain mirror-stream <upstreamDir> <mirrorDir> <ckptDir> [nLogParts] [maxVersionsPerTrigger]
+ *   IngestMain rollback <tableDir> <version>   (hard; metadata-only)
+ *   IngestMain revert <tableDir> <version> [nLogParts]  (CDC-consistent)
  */
 object IngestMain {
   def main(args: Array[String]): Unit = {
@@ -176,6 +179,49 @@ object IngestMain {
         println(s"mode=mirror-follow syncs=${outs.size} " +
           s"to=${outs.lastOption.map(_.toVersion).getOrElse(-1L)} " +
           s"rows=${mir.read(spark).count()}")
+      case "mirror-stream" =>
+        // Structured-Streaming replication (MirrorJob.followStream): tail
+        // the upstream's .changes feed to the mirror with checkpoints and
+        // admission control; AvailableNow = drain-to-now then exit.
+        // Usage: mirror-stream <upstreamDir> <mirrorDir> <checkpointDir>
+        //   [nLogParts] [maxVersionsPerTrigger]
+        val Array(_, upDir, mirDir, ckpt) = args.take(4)
+        val up = IceTable.create(upDir)
+        val mir = IceTable.create(mirDir, numBuckets = up.numBuckets)
+        val nlp = args.lift(4).map(_.toInt).getOrElse(32)
+        val catDir = s"$mirDir/feedcat"
+        graft.table.GraftCatalog.create(catDir)
+          .register("upstream", up.dir, up.numBuckets)
+        spark.conf.set("spark.sql.catalog.graftfeed",
+          "graft.table.GraftSparkCatalog")
+        spark.conf.set("spark.sql.catalog.graftfeed.dir", catDir)
+        val q = MirrorJob.followStream(spark, "graftfeed.upstream.changes",
+          up, mir, ckpt, nLogPartitions = nlp,
+          options = args.lift(5)
+            .map(v => Map("maxVersionsPerTrigger" -> v)).getOrElse(Map.empty))
+        q.awaitTermination()
+        println(s"mode=mirror-stream " +
+          s"sync_point=${mir.currentManifest().map(_.epochId).getOrElse(-1L)} " +
+          s"rows=${mir.read(spark).count()} version=${mir.currentVersion()}")
+      case "rollback" =>
+        // HARD snapshot rollback (metadata-only; feeds/mirrors must be
+        // rebuilt — see IceTable.rollbackTo). Usage: rollback <dir> <v>
+        val Array(_, tableDir, vS) = args.take(3)
+        val t = IceTable.create(tableDir)
+        val m = t.rollbackTo(vS.toLong)
+        println(s"mode=rollback to=${vS.toLong} new_version=${m.version} " +
+          s"rows=${t.read(spark).count()}")
+      case "revert" =>
+        // CDC-consistent rollback: compensating epoch downstream consumers
+        // follow normally (maintenance.Revert). Usage: revert <dir> <v>
+        //   [nLogParts]
+        val Array(_, tableDir, vS) = args.take(3)
+        val t = IceTable.create(tableDir)
+        val out = graft.maintenance.Revert.revertTo(spark, t, vS.toLong,
+          nLogPartitions = args.lift(3).map(_.toInt).getOrElse(32))
+        println(s"mode=revert to=${vS.toLong} skipped=${out.skipped} " +
+          s"stats=${out.stats} rows=${t.read(spark).count()} " +
+          s"version=${t.currentVersion()}")
       case "job" =>
         // config-driven job assembly (.pull-file analog): a JSON spec
         // wiring source → converters → policies → table → catalog,
@@ -260,7 +306,8 @@ object IngestMain {
       case other =>
         System.err.println(s"unknown mode '$other'; use " +
           "replay|stream|replay-budgeted|job|maintain|reprocess|rebucket|" +
-          "history|changes|mirror|mirror-follow")
+          "history|changes|mirror|mirror-follow|mirror-stream|rollback|" +
+          "revert")
         sys.exit(2)
     } finally {
       graft.metrics.Metrics.clearReporters() // flush/close event files
