@@ -115,6 +115,16 @@ class MirrorSpec extends SparkSpec {
         "purged-in-window delete must land on the streaming mirror")
       assert(offsets(mir) == offsets(up))
       assert(mir.currentManifest().get.epochId == up.currentVersion())
+      // CHECKPOINT LOSS: the whole feed redelivers from the origin, and
+      // the ENGINE's fence (not the checkpoint) provides exactly-once —
+      // every redelivered row is fenced, the mirror commits nothing new
+      val vMirBefore = mir.currentVersion()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      drain(Map.empty)
+      assert(mir.currentVersion() == vMirBefore,
+        "a full feed redelivery after checkpoint loss must be fenced " +
+          "(no new mirror commits)")
+      assert(userView(mir) == userView(up))
       // live follower: mid-stream upstream commits land incrementally
       val q = MirrorJob.followStream(spark, "mirs.commits.changes", up,
         mir, ckpt, nLogPartitions = N,
