@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Whole-stage-codegen class cache (static conf, so set at JVM level like
+  // the confs above). The 100-entry default thrashes for this engine: one
+  // replay epoch generates ~25 codegen units and a multi-epoch query
+  // cycles past 100, so even IDENTICAL stage sources recompile (measured
+  // ~0.84 s of pure Janino time inside one warm c3 run). 2000 entries keeps
+  // every distinct stage of a full bench run resident; generated classes
+  // are small (KBs), so the footprint is tens of MB.
+  "-Dspark.sql.codegen.cache.maxEntries=2000",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -275,10 +275,33 @@ object MergeEngine {
     // the excludedRules value is derived PER SESSION below (merging with
     // that session's own exclusions, not the outer session's)
     val AqeKey = "spark.sql.adaptive.optimizer.excludedRules"
+    // TINY-EPOCH AQE GATE (guide §1.2 step 3, measured r7): AQE's value —
+    // runtime skew splitting and partition coalescing — is proportional to
+    // data volume, but its cost (one driver re-planning round-trip plus a
+    // separate scheduled job per materialized exchange) is paid per STAGE
+    // regardless of size. An epoch admitting a small offset span (catch-up
+    // trickle, replay tail, mirror delta of a quiet window) runs its 2
+    // multi-stage jobs fastest as static plans: measured on the c3 replay
+    // (4 epochs × ~37k events), AQE-off cut the query ~20% with no plan
+    // regression (the engine's own salting handles write skew, and
+    // shuffle partitioning is already keyed by bucket). Epochs above
+    // `spark.graft.aqeMinClaimedEvents` (default 1M) — and epochs whose
+    // size is UNKNOWN (segment-claimed batches) — keep AQE on: at real
+    // scale skew-join splitting and coalescing matter far more than the
+    // per-stage overhead.
+    val claimedSpan: Option[Long] = claimedSet match {
+      case Some(m) => Some(Intervals.normalize(m.values.flatten.toSeq)
+        .map { case (lo, hi) => hi - lo }.sum)
+      case None => claimedRange.map { case (lo, hi) => hi - lo }
+    }
+    val aqeMinEvents = spark.conf.getOption("spark.graft.aqeMinClaimedEvents")
+      .map(_.toLong).getOrElse(1000000L)
+    val tinyEpoch = claimedSpan.exists(_ < aqeMinEvents)
     val scopedConfs = Seq(
       "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
-      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") ++
+      (if (tinyEpoch) Seq("spark.sql.adaptive.enabled" -> "false") else Nil)
     // Inside foreachBatch the batch Dataset is bound to the STREAM'S CLONED
     // session (own SQLConf); a conf set only on the outer session would not
     // reach the batch plans' adaptive re-optimization. Scope the confs on
@@ -362,26 +385,21 @@ object MergeEngine {
     }
 
     // --- 2. offset-interval fence (exact-replay dedup) -------------------
-    // Plan shape is bounded in committed-interval count: small interval
-    // sets (the norm — normalize() keeps one merged interval per partition
-    // on contiguous logs) compile to a codegen'd Column tree; past the
-    // threshold (gap-dense segment histories, e.g. a dataset slice of a
-    // shared seq space) the fence becomes a BINARY SEARCH over a flattened
-    // sorted-interval index — O(log n) per row, constant plan size, no
-    // 64KB-codegen or optimizer-depth blowup. The search is a NATIVE
-    // codegen expression (graft.functions.IntervalInside): the index rides
-    // the plan as a codegen reference object with primitive arguments, so
-    // the hot filter stays inside whole-stage codegen (the r3 scalar UDF
-    // here boxed every row and leaked its broadcast).
-    val totalIvs = committedIv.values.map(_.size).sum
+    // ALWAYS the native binary-search expression (graft.functions.
+    // IntervalInside): O(log n) per row, constant plan size at ANY interval
+    // count (no 64KB-codegen or optimizer-depth blowup on gap-dense
+    // histories), and — the r7 motivation for dropping the old literal-tree
+    // path for small sets — CODEGEN-STABLE ACROSS EPOCHS: the interval
+    // bounds ride the plan as a codegen reference object
+    // (ctx.addReferenceObj), not inlined literals, so every epoch's scan
+    // stage generates the SAME source and hits the whole-stage-codegen
+    // cache instead of paying a fresh Janino compile per epoch (measured
+    // ~0.2 s/epoch of pure compilation on the c3 replay; the literal tree
+    // changed with every newly committed interval). The search stays inside
+    // whole-stage codegen with primitive arguments (the r3 scalar UDF here
+    // boxed every row and leaked its broadcast).
     val fence: Column =
       if (committedIv.isEmpty) lit(true)
-      else if (totalIvs <= 256)
-        committedIv.toSeq.sortBy(_._1).map { case (p, ivs) =>
-          val inside = ivs.map { case (lo, hi) =>
-            col("seq") > lo && col("seq") <= hi }.reduce(_ || _)
-          !(col("logPart") === p && inside)
-        }.reduce(_ && _)
       else
         !graft.functions.IntervalInside(col("logPart"), col("seq"), committedIv)
     val fresh = if (admitClaimed) good else good.filter(fence)

@@ -23,6 +23,33 @@ object CdcQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Run `f` with the derived log PERSISTED (guide §5: reused ≥3× per
+    * engine query — bounds aggregate + 2 scans per epoch — and recomputing
+    * it repeats the parquet scan and the derive projection each time;
+    * caching it removes 5–9 input passes per query). Always unpersisted
+    * before returning: the engine work inside `f` runs eagerly, and the
+    * DataFrame each query returns reads the engine table's own files, so
+    * nothing cached leaks past the query invocation. Recomputed from the
+    * parquet inputs on every invocation — an intra-query intermediate, not
+    * a cross-run cache. */
+  private def withCachedLog[T](s: SparkSession, d: String)(
+      f: Dataset[ChangeEvent] => T): T = {
+    import s.implicits._
+    val log = deriveLog(s, d).as[ChangeEvent]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(log) finally { log.unpersist(); () }
+  }
+
+  /** Codegen-stable epoch slice `(lo, hi]` of the log: the bounds ride a
+    * codegen REFERENCE OBJECT (graft.functions.IntervalInside), not inlined
+    * literals, so every epoch's scan stage generates the same source and
+    * hits the whole-stage-codegen cache — a literal `seq > lo && seq <= hi`
+    * recompiled the stage for each epoch (and each engine query). */
+  private def sliceSeq(log: Dataset[ChangeEvent], lo: Long,
+      hi: Long): Dataset[ChangeEvent] =
+    log.filter(graft.functions.IntervalInside(lit(0), col("seq"),
+      Map(0 -> Seq((lo, hi)))))
+
   /** events table → CDC change-event DataFrame (shared by Spark + oracle). */
   def deriveLog(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -142,20 +169,21 @@ object CdcQueries {
         .deleteDirectory(new java.io.File(tmp))
       registerCleanup(tmp) // pid-scoped dirs must not outlive the process
       val table = IceTable.create(s"$tmp/table", numBuckets = 16)
-      val log = deriveLog(s, d).as[ChangeEvent]
-      val bounds = log.agg(min($"seq"), max($"seq")).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val n = hi - lo + 1
-      val nEpochs = 4
-      val per = math.max(1L, n / nEpochs)
-      val ranges = (0 until nEpochs).map { e =>
-        (e.toLong, lo + e * per - 1,
-          if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+      withCachedLog(s, d) { log =>
+        val bounds = log.agg(min($"seq"), max($"seq")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val n = hi - lo + 1
+        val nEpochs = 4
+        val per = math.max(1L, n / nEpochs)
+        val ranges = (0 until nEpochs).map { e =>
+          (e.toLong, lo + e * per - 1,
+            if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+        }
+        ReplayJob.run(s, table,
+          id => { val (_, l, h) = ranges(id.toInt)
+            sliceSeq(log, l, h) },
+          ranges, nLogPartitions = 16)
       }
-      ReplayJob.run(s, table,
-        id => { val (_, l, h) = ranges(id.toInt)
-          log.filter($"seq" > l && $"seq" <= h) },
-        ranges, nLogPartitions = 16)
       table.read(s)
         .select("repo", "path", "commit", "lang", "content", "contentSha")
         .orderBy("repo", "path")
@@ -178,24 +206,25 @@ object CdcQueries {
         .deleteDirectory(new java.io.File(tmp))
       registerCleanup(tmp)
       val table = IceTable.create(s"$tmp/table", numBuckets = 16)
-      val log = deriveLog(s, d).as[ChangeEvent]
-      val bounds = log.agg(min($"seq"), max($"seq")).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val n = hi - lo + 1
-      val nEpochs = 4
-      val per = math.max(1L, n / nEpochs)
-      val ranges = (0 until nEpochs).map { e =>
-        (e.toLong, lo + e * per - 1,
-          if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+      val (vA, vB) = withCachedLog(s, d) { log =>
+        val bounds = log.agg(min($"seq"), max($"seq")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val n = hi - lo + 1
+        val nEpochs = 4
+        val per = math.max(1L, n / nEpochs)
+        val ranges = (0 until nEpochs).map { e =>
+          (e.toLong, lo + e * per - 1,
+            if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+        }
+        def loader(id: Long): Dataset[ChangeEvent] = {
+          val (_, l, h) = ranges(id.toInt)
+          sliceSeq(log, l, h)
+        }
+        ReplayJob.run(s, table, loader, ranges.take(2), nLogPartitions = 16)
+        val a = table.currentVersion()
+        ReplayJob.run(s, table, loader, ranges.drop(2), nLogPartitions = 16)
+        (a, table.currentVersion())
       }
-      def loader(id: Long): Dataset[ChangeEvent] = {
-        val (_, l, h) = ranges(id.toInt)
-        log.filter($"seq" > l && $"seq" <= h)
-      }
-      ReplayJob.run(s, table, loader, ranges.take(2), nLogPartitions = 16)
-      val vA = table.currentVersion()
-      ReplayJob.run(s, table, loader, ranges.drop(2), nLogPartitions = 16)
-      val vB = table.currentVersion()
       def rawState(v: Long): DataFrame = {
         val m = table.readManifest(v)
         table.readFiles(s, m.files, m.schemaId)
@@ -228,21 +257,22 @@ object CdcQueries {
         .deleteDirectory(new java.io.File(tmp))
       registerCleanup(tmp)
       val table = IceTable.create(s"$tmp/table", numBuckets = 16)
-      val log = deriveLog(s, d).as[ChangeEvent]
-      val bounds = log.agg(min($"seq"), max($"seq")).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      // two epochs suffice here (c3/c6 already oracle the 4-epoch replay;
-      // this query's subject is the FEED surface between two snapshots)
-      val mid = lo + math.max(1L, (hi - lo + 1) / 2) - 1
-      val ranges = Seq((0L, lo - 1, mid), (1L, mid, hi))
-      def loader(id: Long): Dataset[ChangeEvent] = {
-        val (_, l, h) = ranges(id.toInt)
-        log.filter($"seq" > l && $"seq" <= h)
+      val (vA, vB) = withCachedLog(s, d) { log =>
+        val bounds = log.agg(min($"seq"), max($"seq")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        // two epochs suffice here (c3/c6 already oracle the 4-epoch replay;
+        // this query's subject is the FEED surface between two snapshots)
+        val mid = lo + math.max(1L, (hi - lo + 1) / 2) - 1
+        val ranges = Seq((0L, lo - 1, mid), (1L, mid, hi))
+        def loader(id: Long): Dataset[ChangeEvent] = {
+          val (_, l, h) = ranges(id.toInt)
+          sliceSeq(log, l, h)
+        }
+        ReplayJob.run(s, table, loader, ranges.take(1), nLogPartitions = 16)
+        val a = table.currentVersion()
+        ReplayJob.run(s, table, loader, ranges.drop(1), nLogPartitions = 16)
+        (a, table.currentVersion())
       }
-      ReplayJob.run(s, table, loader, ranges.take(1), nLogPartitions = 16)
-      val vA = table.currentVersion()
-      ReplayJob.run(s, table, loader, ranges.drop(1), nLogPartitions = 16)
-      val vB = table.currentVersion()
       val mB = table.readManifest(vB)
       OracleAux.export(
         table.readFiles(s, mB.files, mB.schemaId)
@@ -285,24 +315,25 @@ object CdcQueries {
       registerCleanup(tmp)
       val up = IceTable.create(s"$tmp/up", numBuckets = 16)
       val mir = IceTable.create(s"$tmp/mir", numBuckets = 16)
-      val log = deriveLog(s, d).as[ChangeEvent]
-      val bounds = log.agg(min($"seq"), max($"seq")).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val n = hi - lo + 1
-      val nEpochs = 4
-      val per = math.max(1L, n / nEpochs)
-      val ranges = (0 until nEpochs).map { e =>
-        (e.toLong, lo + e * per - 1,
-          if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+      withCachedLog(s, d) { log =>
+        val bounds = log.agg(min($"seq"), max($"seq")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val n = hi - lo + 1
+        val nEpochs = 4
+        val per = math.max(1L, n / nEpochs)
+        val ranges = (0 until nEpochs).map { e =>
+          (e.toLong, lo + e * per - 1,
+            if (e == nEpochs - 1) hi else lo + (e + 1) * per - 1)
+        }
+        def loader(id: Long): Dataset[ChangeEvent] = {
+          val (_, l, h) = ranges(id.toInt)
+          sliceSeq(log, l, h)
+        }
+        ReplayJob.run(s, up, loader, ranges.take(2), nLogPartitions = 16)
+        MirrorJob.sync(s, up, mir, nLogPartitions = 16) // bootstrap
+        ReplayJob.run(s, up, loader, ranges.drop(2), nLogPartitions = 16)
+        MirrorJob.sync(s, up, mir, nLogPartitions = 16) // incremental delta
       }
-      def loader(id: Long): Dataset[ChangeEvent] = {
-        val (_, l, h) = ranges(id.toInt)
-        log.filter($"seq" > l && $"seq" <= h)
-      }
-      ReplayJob.run(s, up, loader, ranges.take(2), nLogPartitions = 16)
-      MirrorJob.sync(s, up, mir, nLogPartitions = 16) // bootstrap
-      ReplayJob.run(s, up, loader, ranges.drop(2), nLogPartitions = 16)
-      MirrorJob.sync(s, up, mir, nLogPartitions = 16) // incremental delta
       mir.read(s)
         .select("repo", "path", "commit", "lang", "content", "contentSha")
         .orderBy("repo", "path")
@@ -325,30 +356,31 @@ object CdcQueries {
         .deleteDirectory(new java.io.File(tmp))
       registerCleanup(tmp)
       val table = IceTable.create(s"$tmp/table", numBuckets = 16)
-      val log = deriveLog(s, d).as[ChangeEvent]
-      val bounds = log.agg(min($"seq"), max($"seq")).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val mid = lo + (hi - lo + 1) / 2 - 1
-      val m1 = lo + (mid - lo + 1) / 2 - 1
-      val ranges = Seq((0L, lo - 1, m1), (1L, m1, mid))
-      ReplayJob.run(s, table,
-        id => { val (_, l, h) = ranges(id.toInt)
-          log.filter($"seq" > l && $"seq" <= h) },
-        ranges, nLogPartitions = 16)
-      // second-half winners as an INSERT batch (upserts only; contentSha
-      // NULL — the engine derives it)
-      val batch = log.filter($"seq" > mid && $"op" =!= "d")
-        .groupBy($"repo", $"path")
-        .agg(max_by(struct($"commit", $"lang", $"content"), $"seq").as("e"))
-        .select($"repo", $"path", $"e.commit".as("commit"),
-          $"e.lang".as("lang"), $"e.content".as("content"),
-          lit(null).cast("string").as("contentSha"))
-      val catDir = s"$tmp/cat"
-      GraftCatalog.create(catDir)
-        .register("commits", table.dir, defaultNumBuckets = 16)
-      s.conf.set("spark.sql.catalog.graftw", "graft.table.GraftSparkCatalog")
-      s.conf.set("spark.sql.catalog.graftw.dir", catDir)
-      batch.writeTo("graftw.commits").append()
+      withCachedLog(s, d) { log =>
+        val bounds = log.agg(min($"seq"), max($"seq")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val mid = lo + (hi - lo + 1) / 2 - 1
+        val m1 = lo + (mid - lo + 1) / 2 - 1
+        val ranges = Seq((0L, lo - 1, m1), (1L, m1, mid))
+        ReplayJob.run(s, table,
+          id => { val (_, l, h) = ranges(id.toInt)
+            sliceSeq(log, l, h) },
+          ranges, nLogPartitions = 16)
+        // second-half winners as an INSERT batch (upserts only; contentSha
+        // NULL — the engine derives it)
+        val batch = log.filter($"seq" > mid && $"op" =!= "d")
+          .groupBy($"repo", $"path")
+          .agg(max_by(struct($"commit", $"lang", $"content"), $"seq").as("e"))
+          .select($"repo", $"path", $"e.commit".as("commit"),
+            $"e.lang".as("lang"), $"e.content".as("content"),
+            lit(null).cast("string").as("contentSha"))
+        val catDir = s"$tmp/cat"
+        GraftCatalog.create(catDir)
+          .register("commits", table.dir, defaultNumBuckets = 16)
+        s.conf.set("spark.sql.catalog.graftw", "graft.table.GraftSparkCatalog")
+        s.conf.set("spark.sql.catalog.graftw.dir", catDir)
+        batch.writeTo("graftw.commits").append()
+      }
       table.read(s)
         .select("repo", "path", "commit", "lang", "content", "contentSha")
         .orderBy("repo", "path")

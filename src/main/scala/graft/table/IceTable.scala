@@ -915,6 +915,16 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     * already hash-partitioned by `bucket` (bucket-aligned MERGE output).
     * Published entries carry footer stats (rows + key/seq min-max) from one
     * pooled metadata pass — the skipping/verifier inputs. */
+  private val wTiming = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+  private def wTimed[T](name: String)(f: => T): T =
+    if (!wTiming) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[timing]   $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   def writeEpochFiles(df: DataFrame, epochId: Long,
       schemaId: Int = SchemaRegistry.baseSchemaId,
       saltPerBucket: Int = 1,
@@ -949,9 +959,10 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
           .option("parquet.bloom.filter.enabled#path", "true")
           .option("parquet.bloom.filter.adaptive.enabled", "true")
       else sorted
-    (if (salted) withBlooms.partitionBy("bucket", "_salt")
-     else withBlooms.partitionBy("bucket"))
-      .parquet(staging.toString)
+    wTimed("write-job")(
+      (if (salted) withBlooms.partitionBy("bucket", "_salt")
+       else withBlooms.partitionBy("bucket"))
+        .parquet(staging.toString))
     // publish: move every staged file under the flat single-level data
     // layout (any _salt staging level is flattened into the file NAME —
     // one task can stage the same part-file name under two _salt dirs of
@@ -972,7 +983,7 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
             saltRes = saltRes)
         }
     }
-    val entries = f.listStatus(staging).iterator
+    val entries = wTimed("publish")(f.listStatus(staging).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .flatMap { d =>
         val bucket = d.getPath.getName.stripPrefix("bucket=").toInt
@@ -983,7 +994,7 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
             publishDir(sd.getPath, bucket,
               sd.getPath.getName.stripPrefix("_salt=").toInt)
           }
-      }.toSeq
+      }.toSeq)
     f.delete(staging, true)
     val sortedEntries = entries.sortBy(e => (e.bucket, e.path))
     // footer-stats pass: small batches use the bounded driver pool; past
@@ -993,9 +1004,10 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     val distMin = df.sparkSession.conf
       .getOption("spark.graft.distributedStatsMinFiles")
       .map(_.toInt).getOrElse(64)
-    if (sortedEntries.size >= distMin)
-      FileStats.fillAllDistributed(df.sparkSession, sortedEntries)
-    else FileStats.fillAll(hconf, sortedEntries)
+    wTimed("footer-stats")(
+      if (sortedEntries.size >= distMin)
+        FileStats.fillAllDistributed(df.sparkSession, sortedEntries)
+      else FileStats.fillAll(hconf, sortedEntries))
   }
 
   /** All PUBLISHED data files of the given epoch (committed or orphaned). */
