@@ -258,6 +258,38 @@ object MirrorJob {
       val mirIv = MergeEngine.committedIntervals(mParent)
       requireNoRegression(upstream, upIv, mirIv)
 
+      // TRUSTED-SYNC-POINT VALIDATION (the same rule sync() applies): the
+      // claim below asserts the batch completely observed the delta
+      // upIv(vTo) \ mirIv — true only if the mirror's state actually sits
+      // at the stream's position. A mirror restored from backup under a
+      // reused checkpoint (state BEHIND the batch window) would claim seqs
+      // the batch never carried — silent permanent divergence, violating
+      // the never-claim-unobserved invariant. Verify the recorded sync
+      // point's upstream offsets equal the mirror's; anything else fails
+      // loudly (the stream path cannot full-resync inside a micro-batch —
+      // run MirrorJob.sync to heal, then restart the stream). A mirror at
+      // or beyond vTo (manual sync while the stream was down, or a
+      // redelivered batch after checkpoint loss) is a no-op batch.
+      mParent.foreach { pm =>
+        val point = pm.epochId
+        val pointTrusted = point >= 0 && {
+          try normalized(MergeEngine.committedIntervals(
+            Some(upstream.readManifestHeader(point)))) == normalized(mirIv)
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+        if (!pointTrusted)
+          throw new IllegalStateException(
+            s"mirror ${mirror.dir} state does not match its recorded sync " +
+              s"point (epochId=$point) against upstream ${upstream.dir}: " +
+              "the stream's claim-delta merge would claim seqs this batch " +
+              "did not observe (mirror restored from backup? checkpoint " +
+              "reused? sync point expired?). Run MirrorJob.sync to " +
+              "re-converge, then restart the stream from a fresh checkpoint")
+        if (point >= vTo)
+          return Some(MirrorOutcome(point, vTo, mirror.currentVersion(),
+            fullSync = false, stats = None))
+      }
+
       // mirror schema tracks the upstream's at vTo (metadata-only steps)
       val mSchema = mParent.map(_.schemaId)
         .getOrElse(SchemaRegistry.baseSchemaId)

@@ -40,8 +40,11 @@ import org.apache.spark.storage.StorageLevel
  */
 object Revert {
 
-  /** epochId tag range for revert commits (appends use 1.2e9 + version) */
-  private val EpochIdBase = 1300000000L
+  /** epochId tag range for revert commits. Ops tag ranges, in one place:
+    * compaction 1.0e9+, SQL appends 1.2e9+, hard rollback 1.3e9+
+    * (IceTable.rollbackTo), compensating revert 1.4e9+ — DISTINCT bases so
+    * history() distinguishes a hard re-point from a compensating replay. */
+  private[graft] val EpochIdBase = 1400000000L
 
   def revertTo(spark: SparkSession, table: IceTable, v: Long,
                nLogPartitions: Int = 32): MergeEngine.EpochOutcome = {

@@ -191,7 +191,15 @@ object MergeEngine {
               .sortBy(f => (f.bucket, f.path)),
             offsets = offsets2,
             completeUntilSeq = math.max(np.completeUntilSeq,
-              Intervals.contiguousOriginPrefix(offsets2)))
+              Intervals.contiguousOriginPrefix(offsets2)),
+            // the purge mark is TABLE history and must stay monotone across
+            // a rebase: an interleaved compaction that purged tombstones
+            // advanced np.purgedBelowSeq, and a rebased ingest manifest
+            // that reverted it would hide the purge from a change-feed
+            // window spanning this commit (the feed's removed-file delete
+            // synthesis is gated on the mark moving) — silent delete loss
+            // on mirrors
+            purgedBelowSeq = math.max(m.purgedBelowSeq, np.purgedBelowSeq))
           par = Some(np)
           System.err.println(s"[graft] commit conflict: rebased epoch " +
             s"${m.epochId} onto version ${np.version} (disjoint buckets/" +
@@ -413,10 +421,28 @@ object MergeEngine {
     // the winning rows — no shuffle of payload bytes at all. Falls back to
     // a single-shuffle max_by(struct) aggregate when the winner set is too
     // large to broadcast (the state-heavy but still skew-immune plan).
-    val winners = fresh
-      .groupBy($"repo", $"path")
-      .agg(max($"seq").as("seq"),
-        count(lit(1)).as("nEvents"))
+    //
+    // TINY epochs (same gate as the AQE policy above) instead carry the
+    // winning ROW through phase A itself: the max_by(struct) aggregate —
+    // the SAME tie-break rule as the fallback path, so the chosen mode can
+    // never change the table — rides the one pass that phase A must make
+    // anyway, and phase B disappears entirely (no second source scan, no
+    // broadcast build, no window rank in the merge job: one pass over the
+    // input instead of two). Shuffling the payload once is the right trade
+    // exactly when the claimed span bounds it small; big epochs keep the
+    // payload-never-shuffles envelope discipline (guide §2.3/§8).
+    val payloadDedup = tinyEpoch
+    val winners = (
+      if (payloadDedup)
+        fresh.groupBy($"repo", $"path")
+          .agg(max_by(struct($"op", $"seq", $"commit", $"lang", $"content"),
+            struct($"seq", $"commit", $"op", $"lang", $"content")).as("e"),
+            count(lit(1)).as("nEvents"))
+          .select($"repo", $"path", $"e", $"e.seq".as("seq"), $"nEvents")
+      else
+        fresh.groupBy($"repo", $"path")
+          .agg(max($"seq").as("seq"),
+            count(lit(1)).as("nEvents")))
       .withColumn("bucket", table.bucketCol($"repo", $"path", nBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try { // unpersist `winners` on every exit (skip, abort, commit)
@@ -671,7 +697,20 @@ object MergeEngine {
       .getOption("spark.graft.alignedScanMinBytes").map(_.toLong)
       .getOrElse(16L << 20)
     val touchedBytes = touchedFiles.map(f => math.max(0L, f.bytes)).sum
-    val useAligned = touchedFiles.nonEmpty && touchedBytes >= alignedMinBytes
+    // payload-dedup epochs ALWAYS use the aligned layout when the target has
+    // files: their winner side has no window/rank on top, and
+    // EnsureRequirements strips a bare user repartition directly under a
+    // join (rewriting it to a full-key shuffle at the default partition
+    // count, which un-clusters the bucket write into ~#buckets files per
+    // task — measured 490 files/epoch instead of 16). The KGP layout is an
+    // RDD-level barrier the planner cannot strip, and it is also the
+    // zero-exchange plan.
+    val useAligned = touchedFiles.nonEmpty &&
+      (touchedBytes >= alignedMinBytes || payloadDedup)
+    if (timing)
+      System.err.println(s"[timing]   useAligned=$useAligned touchedBytes=" +
+        s"$touchedBytes touched=${touchedFiles.size} skipped=" +
+        s"${skippedFiles.size} payload=$payloadDedup")
     // the partition-value universe BOTH sides must share: every bucket the
     // winners touch (buckets whose parent files exist but hold no winners
     // are untouched and carried forward — never scanned)
@@ -694,7 +733,24 @@ object MergeEngine {
       else df.repartition(nBuckets, $"bucket")
 
     val deduped: org.apache.spark.sql.DataFrame =
-      if (winnerBytes <= maxBroadcastBytes(spark)) {
+      if (payloadDedup) {
+        // winners already carry the winning row (max_by above): project the
+        // payload out of the persisted aggregate and lay it out — no second
+        // pass over the input, no broadcast, no rank. The local sort is the
+        // merge join's own required order (so it costs nothing extra) and,
+        // critically, keeps the bucket layout: EnsureRequirements REPLACES a
+        // user repartition sitting DIRECTLY under a join with a full-key
+        // shuffle at the default partition count (verified on 4.1: a bare
+        // repartition(16, bucket) under the full-outer merge became
+        // hash(bucket, repo, path, 32) on both sides, exploding the
+        // bucket-clustered write into ~bucketCount files per task), while a
+        // sandwiched operator whose partitioning still satisfies the join's
+        // clustering is accepted as-is.
+        alignWinners(winners.select($"repo", $"path", $"e.op".as("op"),
+          $"e.seq".as("seq"), $"e.commit".as("commit"),
+          $"e.lang".as("lang"), $"e.content".as("content"), $"bucket"))
+          .sortWithinPartitions($"bucket", $"repo", $"path")
+      } else if (winnerBytes <= maxBroadcastBytes(spark)) {
         // phase B: winner rows via broadcast semi-equijoin on (key, seq),
         // then ONE layout shuffle by bucket (aligning with the merge join)
         // and a windowed rank that removes exact intra-batch duplicates —
@@ -785,6 +841,8 @@ object MergeEngine {
     // merged output is already distributed by bucket (the aligned join), so
     // the write adds NO shuffle — unless hot-bucket salting kicked in, which
     // trades one extra exchange for write parallelism on the skewed bucket.
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      System.err.println(merged.queryExecution.executedPlan.toString.take(8000))
     val newFiles = timed("merge+write")(
       table.writeEpochFiles(merged, epochId, schemaIdNow, saltPerBucket,
         alignedByBucket = true, nBuckets = nBuckets))

@@ -758,17 +758,35 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
       // referenced = every file of every version listed in THIS pass
       // (retained AND expired — expired jsons are still on disk here, so
       // their files are not orphans; the normal retention path below
-      // removes them in the right order). Tolerant resolution: a
-      // segment-less legacy corpse contributes nothing. Paths are
+      // removes them in the right order). Resolution is STRICT for
+      // RETAINED versions: a retained snapshot whose segments are
+      // transiently unreadable (e.g. the adoption-race window between a
+      // concurrent sweep's delete and commit()'s post-CAS re-publish)
+      // would otherwise contribute NOTHING to `referenced`, and its old
+      // carried data files — past the mtime grace by definition — would be
+      // deleted as "orphans": transient metadata failure must never become
+      // live-table data loss, so the whole orphan-data sweep is skipped
+      // for this run instead. EXPIRED corpses stay tolerant (a segment-less
+      // legacy corpse contributes no protectable files). Paths are
       // QUALIFIED before comparison: manifests record publish-time
       // (possibly scheme-less) paths while listStatus returns fully
       // qualified ones — a raw string compare would see every committed
       // file as an orphan.
       def qual(p: String): String = f.makeQualified(new HPath(p)).toString
-      val referenced: Set[String] = versions.flatMap { v =>
-        try resolveFiles(headers(v)).files.map(e => qual(e.path))
-        catch { case _: java.io.FileNotFoundException => Nil }
-      }.toSet
+      val resolvedPerVersion: Seq[Option[Seq[String]]] = versions.map { v =>
+        try Some(resolveFiles(headers(v)).files.map(e => qual(e.path)))
+        catch { case _: java.io.FileNotFoundException =>
+          if (expiredSet(v)) Some(Nil) else None
+        }
+      }
+      if (resolvedPerVersion.contains(None)) {
+        System.err.println(s"[graft] orphan data-file sweep SKIPPED for " +
+          s"$dir: a RETAINED snapshot's segments did not resolve " +
+          "(transient metadata race or corruption) — refusing to treat " +
+          "its files as unreferenced")
+        0
+      } else {
+      val referenced: Set[String] = resolvedPerVersion.flatMap(_.get).toSet
       val nowD = System.currentTimeMillis()
       val candidates: Seq[HPath] =
         if (!f.exists(dataDir)) Nil
@@ -801,6 +819,7 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
           .filter(s => nowD - s.getModificationTime >= dataGrace)
           .foreach(s => f.delete(s.getPath, true))
       swept
+      }
     }
     if (expired.isEmpty) return (0, sweptData)
     // resolve file lists: STRICT for retained versions (a retained snapshot
@@ -996,6 +1015,8 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
           }
       }.toSeq)
     f.delete(staging, true)
+    if (wTiming)
+      System.err.println(s"[timing]   files=${entries.size} salt=$saltPerBucket aligned=$alignedByBucket")
     val sortedEntries = entries.sortBy(e => (e.bucket, e.path))
     // footer-stats pass: small batches use the bounded driver pool; past
     // the threshold it runs as a Spark job so a many-file epoch (e.g. 1024

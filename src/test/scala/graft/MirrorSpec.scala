@@ -145,6 +145,53 @@ class MirrorSpec extends SparkSpec {
     }
   }
 
+  test("stream batch refuses a mirror whose state diverged from its " +
+      "recorded sync point (restored backup / reused checkpoint)") {
+    import graft.table.ChangeFeed
+    val up = IceTable.create(tmpDir("fbv-up"), numBuckets = 2)
+    val mir = IceTable.create(tmpDir("fbv-m"), numBuckets = 2)
+    apply(up, 0, -1, 2, ev("i", 1, "r0", "a", "A1"), ev("i", 2, "r0", "b", "B1"))
+    sync(up, mir) // mirror honestly at upstream version 0
+    apply(up, 1, 2, 4, ev("u", 3, "r0", "a", "A2"), ev("i", 4, "r1", "c", "C1"))
+    def feedBatch(vTo: Long, rows: (String, Long, String, String, String)*) =
+      rows.toSeq.toDF("op", "seq", "repo", "path", "content")
+        .withColumn("commit", lit("c" * 40)).withColumn("lang", lit("scala"))
+        .withColumn("contentSha", lit(null).cast("string"))
+        .withColumn(ChangeFeed.CommitVersionCol, lit(vTo))
+        .withColumn(ChangeFeed.SchemaIdCol,
+          lit(graft.table.SchemaRegistry.baseSchemaId))
+    // SIMULATED RESTORE-FROM-BACKUP under a reused checkpoint: the mirror
+    // manifest claims sync point v1 while its STATE (offsets) is still v0's
+    // — the batch only carries v1's rows, so the claim delta would cover
+    // seqs the batch never observed. Must fail loudly, not diverge.
+    val pm = mir.currentManifest().get
+    mir.commit(pm.copy(version = pm.version + 1, parentVersion = pm.version,
+      epochId = up.currentVersion()))
+    val e = intercept[IllegalStateException] {
+      MirrorJob.applyFeedBatch(spark, up, mir,
+        feedBatch(up.currentVersion(), ("u", 3L, "r0", "a", "A2"),
+          ("i", 4L, "r1", "c", "C1")), nLogPartitions = N)
+    }
+    assert(e.getMessage.contains("sync point"))
+    assert(state(mir).map(t => (t._1, t._2, t._3)) ==
+      Set(("r0", "a", "A1"), ("r0", "b", "B1")),
+      "the refused batch must not have touched the mirror")
+    // repair the sync point; a REDELIVERED batch at/below it is a no-op
+    val pm2 = mir.currentManifest().get
+    mir.commit(pm2.copy(version = pm2.version + 1,
+      parentVersion = pm2.version, epochId = 0L))
+    val stale = MirrorJob.applyFeedBatch(spark, up, mir,
+      feedBatch(0L, ("i", 1L, "r0", "a", "A1")), nLogPartitions = N)
+    assert(stale.exists(_.stats.isEmpty),
+      "a batch at/below the trusted sync point is a no-op")
+    // and the valid next batch still applies normally
+    val ok = MirrorJob.applyFeedBatch(spark, up, mir,
+      feedBatch(up.currentVersion(), ("u", 3L, "r0", "a", "A2"),
+        ("i", 4L, "r1", "c", "C1")), nLogPartitions = N)
+    assert(ok.exists(_.stats.exists(_.rowsApplied == 2)))
+    assertConverged(up, mir)
+  }
+
   test("bootstrap + incremental sync converge state, offsets, and sync " +
       "point; re-sync is a no-op") {
     val up = IceTable.create(tmpDir("mir1-up"), numBuckets = 4)

@@ -156,29 +156,67 @@ class OutOfOrderSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.maxBroadcastBytes")
   }
 
-  test("both dedup paths pick the same winner among same-seq conflicts") {
+  test("all three dedup paths pick the same winner among same-seq conflicts") {
     // at-least-once delivery can produce two rows with the SAME (key, seq)
-    // but different payload (producer retry after a partial update): both
-    // dedup paths must apply one identical deterministic tie-break
-    // (lexicographic max of (commit, op, lang, content)), or the table
-    // would depend on which side of the broadcast threshold an epoch lands.
+    // but different payload (producer retry after a partial update): every
+    // dedup path — broadcast argmax, shuffle fallback, and the tiny-epoch
+    // payload-carrying aggregate (claimed span below
+    // spark.graft.aqeMinClaimedEvents) — must apply one identical
+    // deterministic tie-break (lexicographic max of (commit, op, lang,
+    // content)), or the table would depend on which mode an epoch lands in.
     def ev(commit: Char, c: String) =
       ChangeEvent("u", 5, "r", "p", commit.toString * 40, "scala", c)
-    def run(forceFallback: Boolean): Map[(String, String), String] = {
+    def run(tag: String, forceFallback: Boolean,
+            claimed: Option[(Long, Long)]): Map[(String, String), String] = {
       if (forceFallback) spark.conf.set("spark.graft.maxBroadcastBytes", "0")
       try {
-        val t = IceTable.create(tmpDir(s"tie$forceFallback"), numBuckets = 2)
+        val t = IceTable.create(tmpDir(s"tie$tag"), numBuckets = 2)
         MergeEngine.applyEpoch(spark, t,
-          Seq(ev('b', "vB"), ev('a', "vA")).toDS(), 0, nLogPartitions = 2)
+          Seq(ev('b', "vB"), ev('a', "vA")).toDS(), 0, nLogPartitions = 2,
+          claimedRange = claimed)
         shaState(t)
       } finally if (forceFallback)
         spark.conf.unset("spark.graft.maxBroadcastBytes")
     }
-    val viaBroadcast = run(forceFallback = false)
-    val viaFallback = run(forceFallback = true)
+    // no claim -> segment path -> envelope dedup (broadcast or fallback);
+    // a small declared claim -> tiny epoch -> payload-carrying aggregate
+    val viaBroadcast = run("bc", forceFallback = false, claimed = None)
+    val viaFallback = run("fb", forceFallback = true, claimed = None)
+    val viaPayload = run("pl", forceFallback = false, claimed = Some((4L, 5L)))
     assert(viaBroadcast == viaFallback, "paths must agree bit-for-bit")
+    assert(viaBroadcast == viaPayload,
+      "payload-carrying dedup must agree bit-for-bit with the envelope paths")
     assert(viaBroadcast == Map(("r", "p") -> OracleFold.sha256Hex("vB")),
       "max-commit row must win the tie deterministically")
+  }
+
+  test("tiny-epoch payload dedup converges and keeps the bucket layout") {
+    // same out-of-order workload as the envelope-path tests, but run through
+    // DECLARED epoch slices (claimedRange), which puts every epoch on the
+    // tiny-epoch payload-carrying path: one pass over the input, no
+    // broadcast, no rank. Must converge to the oracle fold AND keep the
+    // one-file-per-bucket-per-writer write layout (EnsureRequirements
+    // strips a bare repartition under the merge join — the aligned layout
+    // guards it; a blown layout shows up as ~partitions×buckets files).
+    val t = IceTable.create(tmpDir("pl-ooo"), numBuckets = 4)
+    val sp = spec
+    val cdf = ChangeLogGen.zipfCdf(sp.nRepos, sp.zipfExponent)
+    val per = sp.nEvents / 4
+    val ranges = (0 until 4).map(e =>
+      (e.toLong, e * per - 1, if (e == 3) sp.nEvents - 1 else (e + 1) * per - 1))
+    Seq(2, 0, 3, 1).foreach { e =>
+      val (_, lo, hi) = ranges(e)
+      val out = MergeEngine.applyEpoch(spark, t,
+        spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(sp, cdf, s)),
+        epochId = e, nLogPartitions = 4, claimedRange = Some((lo, hi)))
+      assert(!out.skipped)
+      val epochFiles = out.manifest.files.filter(_.path.contains(s"/e$e-"))
+      assert(epochFiles.size <= 4 + 1,
+        s"epoch $e wrote ${epochFiles.size} files for 4 buckets — the " +
+          "bucket-clustered write layout was lost")
+    }
+    assert(shaState(t) == oracle,
+      "payload-carrying dedup must converge to the oracle fold")
   }
 
   test("claimRunOverflow=fail aborts a gap-dense epoch uncommitted") {

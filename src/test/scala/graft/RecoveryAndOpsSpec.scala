@@ -369,6 +369,11 @@ class RecoveryAndOpsSpec extends SparkSpec {
     graft.driver.MirrorJob.sync(spark, t, mir, nLogPartitions = 2)
     assert(mir.read(spark).collect().map(_.toString).sorted.toSeq ==
       userAtTarget, "mirrors converge across a revert")
+    // revert and hard rollback must be DISTINGUISHABLE in history(): the
+    // compensating revert tags 1.4e9+, the hard re-point tags 1.3e9+
+    val revertTag = t.history().last.epochId
+    assert(revertTag >= 1400000000L && revertTag < 1500000000L,
+      s"revert commits tag in the 1.4e9 ops range, got $revertTag")
     // reverting to the current version is a no-op
     assert(graft.maintenance.Revert.revertTo(spark, t,
       t.currentVersion(), nLogPartitions = 2).skipped)

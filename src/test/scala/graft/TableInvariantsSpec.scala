@@ -120,6 +120,42 @@ class TableInvariantsSpec extends SparkSpec {
       "the aborted epoch's claims must NOT be committed")
   }
 
+  test("rebase carries an interleaved maintenance commit's purge mark") {
+    // A compaction that purges tombstones below the safe horizon stamps a
+    // monotone purgedBelowSeq on its manifest. If an ingest epoch rebases
+    // over such an interleaver (the documented rebasable case: disjoint
+    // buckets/claims), the rebased manifest must CARRY the advanced mark —
+    // regressing it would hide the purge from a change-feed window spanning
+    // the rebase (the feed's removed-file delete synthesis is gated on the
+    // mark moving), silently dropping deletes on mirrors.
+    import spark.implicits._
+    import graft.merge.MergeEngine
+    val dir = tmpDir("rebase-purge")
+    val t = IceTable.create(dir, numBuckets = 4)
+    val c40 = "c" * 40
+    def ev(op: String, seq: Long, path: String, content: String) =
+      ChangeEvent(op, seq, "r", path, c40, "scala", content)
+    MergeEngine.applyEpoch(spark, t, Seq(ev("i", 1L, "p0", "a")).toDS(), 0,
+      nLogPartitions = 2, claimedRange = Some((-1L, 5L)))
+    // interleave a METADATA-ONLY maintenance commit (no bucket rewrites, no
+    // new claims — provably rebasable) that advances the purge mark, inside
+    // the ingest epoch's commit window
+    val t2 = new IceTable(dir, defaultNumBuckets = 4)
+    t.onBeforeSnapshotCas = () => {
+      t.onBeforeSnapshotCas = () => ()
+      val pm = t2.currentManifest().get
+      t2.commit(pm.copy(version = pm.version + 1, parentVersion = pm.version,
+        epochId = 1000000123L, purgedBelowSeq = 7L))
+    }
+    val out = MergeEngine.applyEpoch(spark, t,
+      Seq(ev("u", 6L, "p0", "a2")).toDS(), 1, nLogPartitions = 2,
+      claimedRange = Some((5L, 6L)))
+    assert(!out.skipped && out.manifest.purgedBelowSeq == 7L,
+      "the rebased manifest must carry the interleaver's purge mark")
+    assert(t.currentManifest().get.purgedBelowSeq == 7L,
+      "the committed snapshot must not regress the monotone purge mark")
+  }
+
   test("an empty-table handle never caches its construction default " +
       "bucket count") {
     import spark.implicits._
@@ -311,6 +347,44 @@ class TableInvariantsSpec extends SparkSpec {
     // idempotent: nothing left to sweep
     assert(t.expireSnapshots(keepLast = 100,
       orphanDataGraceMillis = 0L) == ((0, 0)))
+  }
+
+  test("orphan data-file sweep aborts when a RETAINED snapshot's segments " +
+      "do not resolve (transient metadata failure must not become loss)") {
+    // segmented manifests: a tiny inline threshold forces fseg files
+    val t = IceTable.create(tmpDir("orphstrict"), numBuckets = 2,
+      inlineFileThreshold = 1)
+    ReplayJob.replayGenerated(spark, t,
+      LogSpec(nEvents = 500, nRepos = 4, nPathsPerRepo = 8), nEpochs = 2,
+      nLogPartitions = 2)
+    val stranded = t.writeEpochFiles(t.readRaw(spark), epochId = 999L)
+    assert(stranded.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    def exists(p: String): Boolean = hp(p).getFileSystem(conf).exists(hp(p))
+    // simulate the transient window: hide a RETAINED snapshot's segment
+    val m = t.currentManifest().get
+    assert(m.fileSegs.nonEmpty, "fixture must produce a segmented manifest")
+    val seg = hp(m.fileSegs.head)
+    val hidden = new org.apache.hadoop.fs.Path(seg.getParent,
+      seg.getName + ".hidden")
+    val fsys = seg.getFileSystem(conf)
+    assert(fsys.rename(seg, hidden))
+    try {
+      // sweep must SKIP (not treat the unresolvable snapshot's files as
+      // unreferenced): the stranded orphans survive, and so does every
+      // committed file
+      val (_, swept) = t.expireSnapshots(keepLast = 100,
+        orphanDataGraceMillis = 0L)
+      assert(swept == 0, "sweep must abort when a retained snapshot's " +
+        "segments do not resolve")
+      assert(stranded.forall(e => exists(e.path)))
+    } finally { assert(fsys.rename(hidden, seg)) }
+    // once the segment is back, the sweep reclaims the true orphans only
+    val (_, swept2) = t.expireSnapshots(keepLast = 100,
+      orphanDataGraceMillis = 0L)
+    assert(swept2 >= stranded.size)
+    assert(t.currentManifest().get.files.forall(e => exists(e.path)))
   }
 
   test("salted write splits a hot bucket across multiple files, data intact") {
