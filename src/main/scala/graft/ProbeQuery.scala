@@ -22,6 +22,10 @@ object ProbeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // extra session confs for A/B probes: "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     if (sys.env.get("SPARK_GRAFT_CODEGEN_LOG").contains("1"))
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
