@@ -184,6 +184,13 @@ final class IceTable(val dir: String, val defaultNumBuckets: Int,
     else m.copy(files =
       m.fileSegs.flatMap(p => ManifestJson.parseFiles(readUtf8(new HPath(p)))))
 
+  /** Resolve ONE content-addressed file-list segment. Used by the change
+    * feed's admission walk to diff successive manifests at the CHUNK level
+    * (identical chunk path ⇒ identical file list ⇒ no net-new files) —
+    * O(changed chunks), never O(table files). */
+  private[graft] def readSegFiles(path: String): Seq[DataFileEntry] =
+    ManifestJson.parseFiles(readUtf8(new HPath(path)))
+
   /** Publish one content-addressed file-list segment (write-if-absent:
     * identical content hashes to the identical path, so a chunk no commit
     * changed costs ZERO metadata writes — the O(touched) commit property).
