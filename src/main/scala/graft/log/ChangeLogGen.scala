@@ -130,7 +130,19 @@ object ChangeLogGen {
     * Dataset.map encoder round-trip — the generated code builds UTF8Strings
     * directly. Long arithmetic wraps like Java, so splitmix64 is exact. */
   def generateExprDf(spark: SparkSession,
-                     spec: LogSpec): org.apache.spark.sql.DataFrame = {
+                     spec: LogSpec): org.apache.spark.sql.DataFrame =
+    generateExprSlice(spark, spec, 0L, spec.nEvents)
+
+  /** [[generateExprDf]] over the seq range `[fromSeq, untilSeq)` — the
+    * epoch-slice form ReplayJob feeds to the engine. The per-row work is
+    * pure codegen: splitmix64 and the Zipf rank pick are native expressions
+    * (a Column-lambda CDF scan is O(nRepos) per row and defeats CSE — see
+    * ZipfPick), content is a single-StringBuilder native expression
+    * (ContentGen), and everything else is built-in string/arith Columns, so
+    * the envelope-pruned dedup scan never materializes content bytes at
+    * all (a closure-built Dataset computes every field for every row). */
+  def generateExprSlice(spark: SparkSession, spec: LogSpec, fromSeq: Long,
+                        untilSeq: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     val cdf = zipfCdf(spec.nRepos, spec.zipfExponent)
@@ -141,17 +153,13 @@ object ChangeLogGen {
       shiftrightunsigned(h, 11).cast("double") / lit((1L << 53).toDouble)
     def hex16(c: Column): Column = lpad(lower(hex(c)), 16, "0")
 
-    val cdfArr = array(cdf.map(lit(_)): _*)
-    val words = array(wordList.map(lit(_)): _*)
     val langs = array(lit("scala"), lit("java"), lit("py"), lit("md"))
 
-    spark.range(0, spec.nEvents)
+    spark.range(fromSeq, untilSeq)
       .select(col("id").as("seq"))
       .withColumn("h0", mixC(lit(spec.seed).bitwiseXOR(col("seq"))))
-      // binarySearch insertion point == count of cdf entries < u
       .withColumn("repoIdx",
-        least(size(filter(cdfArr, c => c < unitC(col("h0")))),
-          lit(spec.nRepos - 1)))
+        graft.functions.ZipfPick.zipfPick(col("h0"), cdf.toIndexedSeq))
       .withColumn("h1", mixC(col("h0").bitwiseXOR(lit(0x51L))))
       .withColumn("pathIdx",
         (shiftrightunsigned(col("h1"), 17) % spec.nPathsPerRepo).cast("int"))

@@ -30,4 +30,26 @@ class GeneratorParitySpec extends SparkSpec {
       nPathsPerRepo = 400, zipfExponent = 1.0, pDelete = 0.0,
       contentWords = 1))
   }
+
+  test("slice generation is bit-identical to eventAt at the bench shape") {
+    // ReplayJob feeds the engine EPOCH SLICES of the expression generator
+    // (generateExprSlice) — parity must hold on interior ranges (fromSeq >
+    // 0), not just full [0, n) generations, and at the bench's own spec
+    // shape (500 repos, 400 paths, 40 words) so the ingest legs replay the
+    // EXACT log the row-at-a-time reference defines.
+    val spec = LogSpec(seed = 42L, nEvents = 10000, nRepos = 500,
+      nPathsPerRepo = 400, contentWords = 40)
+    val cdf = ChangeLogGen.zipfCdf(spec.nRepos, spec.zipfExponent)
+    Seq((0L, 100L), (3777L, 6541L), (9000L, 10000L)).foreach {
+      case (lo, hi) =>
+        val expr = ChangeLogGen.generateExprSlice(spark, spec, lo, hi)
+          .as[graft.model.ChangeEvent].collect().map(e => e.seq -> e).toMap
+        assert(expr.size == (hi - lo))
+        (lo until hi).foreach { s =>
+          val ref = ChangeLogGen.eventAt(spec, cdf, s)
+          assert(expr(s) == ref,
+            s"mismatch at seq=$s:\n  expr=${expr(s)}\n  ref =$ref")
+        }
+    }
+  }
 }
